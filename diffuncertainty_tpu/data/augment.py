@@ -1,0 +1,114 @@
+"""Jittable, batched train-time augmentation pipeline.
+
+The reference composes albumentations CPU transforms per image
+(``configs/data/lidc64.yaml:33-60``: HFlip, Rotate, RandomScale,
+PadIfNeeded+CenterCrop, GaussNoise, Normalize). Here the geometric steps are
+fused into ONE batched affine warp on device (flip . rotate . center-scale,
+constant-0 border like the reference's ``border_mode: 0``), masks warp with
+nearest interpolation, noise and normalization are elementwise — the whole
+pipeline is a few fused XLA ops per batch instead of per-image Python.
+
+``augment_mult`` scales the magnitude knobs (``apply_mult_keys``:
+HFlip.p, Rotate.limit, RandomScale.scale_limit, GaussNoise.var_limit) —
+``augment_mult: 0`` disables augmentation, matching
+``torch_dataloader.py:92-152``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.warp import compose_affine, hflip_matrix, invert_affine, rotation_matrix, warp_affine
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainAugmentConfig:
+    hflip_p: float = 0.5
+    rotation_limit: float = 22.5
+    scale_limit: tuple[float, float] = (-0.2, 0.2)
+    gauss_noise_var_limit: tuple[float, float] = (0.2, 0.44)
+    gauss_noise_p: float = 0.5
+    mean: tuple[float, ...] = (0.485, 0.456, 0.406)
+    std: tuple[float, ...] = (0.229, 0.224, 0.225)
+    augment_mult: float = 1.0
+
+    @property
+    def effective(self) -> "TrainAugmentConfig":
+        m = self.augment_mult
+        if m == 1.0:
+            return self
+        return dataclasses.replace(
+            self,
+            hflip_p=min(1.0, self.hflip_p * m),
+            rotation_limit=self.rotation_limit * m,
+            scale_limit=(self.scale_limit[0] * m, self.scale_limit[1] * m),
+            gauss_noise_var_limit=(
+                self.gauss_noise_var_limit[0] * m,
+                self.gauss_noise_var_limit[1] * m,
+            ),
+            augment_mult=1.0,
+        )
+
+
+def normalize_batch(images: jnp.ndarray, cfg: TrainAugmentConfig) -> jnp.ndarray:
+    """(x - mean) / std with max_pixel_value=1 (albumentations Normalize)."""
+    c = images.shape[-1]
+    mean = jnp.asarray(cfg.mean, images.dtype)
+    std = jnp.asarray(cfg.std, images.dtype)
+    if mean.shape[0] == 1 and c > 1:
+        mean = jnp.broadcast_to(mean, (c,))
+        std = jnp.broadcast_to(std, (c,))
+    return (images - mean) / std
+
+
+def augment_batch(
+    cfg: TrainAugmentConfig,
+    rng: jax.Array,
+    images: jnp.ndarray,
+    masks: jnp.ndarray,
+    *,
+    normalize: bool = True,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Apply the train pipeline to (B, H, W, C) images and (B, H, W) int masks.
+
+    Returns augmented (images, masks); masks warp with nearest interpolation
+    and constant-0 border (the reference's ``mask_value: 0``).
+    """
+    eff = cfg.effective
+    b, h, w, _ = images.shape
+    k_flip, k_rot, k_scale, k_noise_p, k_noise_var, k_noise = jax.random.split(rng, 6)
+
+    flip = jax.random.bernoulli(k_flip, eff.hflip_p, (b,))
+    angle = jax.random.uniform(k_rot, (b,), minval=-eff.rotation_limit, maxval=eff.rotation_limit)
+    lo, hi = eff.scale_limit
+    scale = 1.0 + jax.random.uniform(k_scale, (b,), minval=lo, maxval=hi)
+
+    center = ((w - 1) / 2.0, (h - 1) / 2.0)
+    rot = rotation_matrix(angle, scale, center)
+    flip_m = jnp.broadcast_to(hflip_matrix(w), (b, 2, 3))
+    ident = jnp.broadcast_to(jnp.asarray([[1.0, 0, 0], [0, 1.0, 0]]), (b, 2, 3))
+    forward = compose_affine(rot, jnp.where(flip[:, None, None], flip_m, ident))
+    dst_to_src = invert_affine(forward)
+
+    images = warp_affine(images, dst_to_src, interpolation="bilinear",
+                         border_mode="constant", border_value=0.0)
+    masks_f = masks[..., None].astype(jnp.float32)
+    masks_w = warp_affine(masks_f, dst_to_src, interpolation="nearest",
+                          border_mode="constant", border_value=0.0)
+    masks = masks_w[..., 0].astype(masks.dtype)
+
+    # GaussNoise: sigma = sqrt(var) with var ~ U(var_limit), applied with p
+    nlo, nhi = eff.gauss_noise_var_limit
+    var = jax.random.uniform(k_noise_var, (b,), minval=nlo, maxval=nhi)
+    sigma = jnp.sqrt(jnp.maximum(var, 0.0))
+    apply_noise = jax.random.bernoulli(k_noise_p, eff.gauss_noise_p, (b,))
+    noise = jax.random.normal(k_noise, images.shape, images.dtype)
+    scale_b = jnp.where(apply_noise, sigma, 0.0)[:, None, None, None]
+    images = images + noise * scale_b
+
+    if normalize:
+        images = normalize_batch(images, eff)
+    return images, masks

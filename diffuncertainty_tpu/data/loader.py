@@ -1,0 +1,130 @@
+"""Host-side batch loader with threaded prefetch and static shapes.
+
+Replaces the torch DataLoader worker pool (``data/torch_dataloader.py``) with
+a thread-pool npy reader + double-buffered prefetch queue. Batches are
+numpy dicts; callers ``jax.device_put`` (or donate into a jitted step).
+
+XLA-friendly invariants:
+- every batch has the SAME static shape: the final partial batch is padded to
+  ``batch_size`` and carries a ``valid`` bool mask, so the train/infer step
+  compiles exactly once;
+- the rater axis is padded to the dataset's rater count (the reference pads
+  variable-rater batches in ``collate_multirater_batch``); ``num_raters``
+  carries the true per-sample count.
+- shuffling is deterministic per (seed, epoch), like the reference's seeded
+  worker/epoch discipline.
+"""
+
+from __future__ import annotations
+
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator
+
+import numpy as np
+
+from .dataset import MultiRaterDataset
+
+
+class BatchLoader:
+    def __init__(
+        self,
+        dataset: MultiRaterDataset,
+        batch_size: int,
+        *,
+        shuffle: bool = False,
+        seed: int = 0,
+        drop_last: bool = False,
+        num_workers: int = 8,
+        prefetch: int = 2,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.num_workers = num_workers
+        self.prefetch = prefetch
+        self._epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        self._epoch = epoch
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _order(self) -> np.ndarray:
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            rng = np.random.default_rng((self.seed, self._epoch))
+            rng.shuffle(idx)
+        return idx
+
+    def _collate(self, samples: list[dict], valid_count: int) -> dict:
+        bs = self.batch_size
+        first = samples[0]
+        images = np.stack([s["image"] for s in samples])
+        segs = [np.asarray(s["seg"]) for s in samples]
+        if segs[0].ndim == 3:  # all-raters mode: pad rater axis
+            max_r = max(s.shape[0] for s in segs)
+            padded = []
+            for s in segs:
+                if s.shape[0] < max_r:
+                    pad = np.zeros((max_r - s.shape[0],) + s.shape[1:], s.dtype)
+                    s = np.concatenate([s, pad], axis=0)
+                padded.append(s)
+            seg = np.stack(padded)
+            num_raters = np.asarray([s.shape[0] for s in segs], np.int32)
+        else:
+            seg = np.stack(segs)
+            num_raters = np.ones(len(segs), np.int32)
+
+        valid = np.zeros(bs, bool)
+        valid[:valid_count] = True
+        if len(samples) < bs:  # pad to static batch size by repeating sample 0
+            reps = bs - len(samples)
+            images = np.concatenate([images, np.repeat(images[:1], reps, axis=0)])
+            seg = np.concatenate([seg, np.repeat(seg[:1], reps, axis=0)])
+            num_raters = np.concatenate([num_raters, np.repeat(num_raters[:1], reps)])
+        return {
+            "image": images.astype(np.float32),
+            "seg": seg.astype(np.int32),
+            "num_raters": num_raters,
+            "valid": valid,
+            "image_id": [s["image_id"] for s in samples],
+            "dataset": [s["dataset"] for s in samples],
+        }
+
+    def __iter__(self) -> Iterator[dict]:
+        order = self._order()
+        rng = np.random.default_rng((self.seed, self._epoch, 1))
+        batches = [
+            order[i : i + self.batch_size]
+            for i in range(0, len(order), self.batch_size)
+        ]
+        if self.drop_last:
+            batches = [b for b in batches if len(b) == self.batch_size]
+        self._epoch += 1
+
+        def load_batch(idxs):
+            with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+                child_rngs = [np.random.default_rng(rng.integers(2**63)) for _ in idxs]
+                samples = list(
+                    pool.map(lambda a: self.dataset.load(a[0], a[1]), zip(idxs, child_rngs))
+                )
+            return self._collate(samples, valid_count=len(idxs))
+
+        # simple lookahead prefetch
+        with ThreadPoolExecutor(max_workers=1) as prefetcher:
+            futures = []
+            for b in batches[: self.prefetch]:
+                futures.append(prefetcher.submit(load_batch, b))
+            next_submit = self.prefetch
+            for i in range(len(batches)):
+                batch = futures[i].result()
+                if next_submit < len(batches):
+                    futures.append(prefetcher.submit(load_batch, batches[next_submit]))
+                    next_submit += 1
+                yield batch

@@ -328,9 +328,14 @@ class ContinuousGaussianDiffusion:
         rng: jax.Array,
         sampler_type: str = "ddpm",
         clip_x: bool = False,
+        model_takes_rng: bool = False,
     ) -> jnp.ndarray:
         """Full reverse trajectory as one ``lax.scan`` (vs reference's Python
-        loop at ``diffusion.py:366-410``). Returns x_0 prediction."""
+        loop at ``diffusion.py:366-410``). Returns x_0 prediction.
+
+        With ``model_takes_rng``, ``model_fn(x, t, rng)`` receives a fresh key
+        each step — matching torch MC-dropout drawing new masks per forward.
+        """
         consts = {k: jnp.asarray(v) for k, v in self._step_constants(num_steps).items()}
         is_ddim = sampler_type == "ddim"
         if sampler_type not in ("ddim", "ddpm"):
@@ -338,9 +343,13 @@ class ContinuousGaussianDiffusion:
 
         def body(carry, step):
             x_t, key = carry
-            key, knoise = jax.random.split(key)
+            key, knoise, kmodel = jax.random.split(key, 3)
             t_cond = jnp.broadcast_to(step["t"], (x_t.shape[0],)).astype(x_t.dtype)
-            model_out = model_fn(jnp.concatenate([x_t, im], axis=-1), t_cond)
+            x_in = jnp.concatenate([x_t, im], axis=-1)
+            if model_takes_rng:
+                model_out = model_fn(x_in, t_cond, kmodel)
+            else:
+                model_out = model_fn(x_in, t_cond)
             pred_x, pred_eps = self.get_predictions(
                 model_out,
                 x_t,

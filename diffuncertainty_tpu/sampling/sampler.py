@@ -1,0 +1,213 @@
+"""PredictionSampler: the fused (members x samples x batch) softmax stack.
+
+This is the TPU-native replacement for the reference's inference hot loop
+(``test_2D.py:1121-1280`` ``_build_batch_predictions``), which runs Python
+loops over models (with CPU<->GPU model hopping), n_pred diffusion
+trajectories, and TTA rounds. Here the whole thing is ONE jitted program:
+
+- the member axis is ``vmap`` over stacked parameter pytrees (deep ensembles,
+  SWAG draws, materialized sub-ensembles) or over per-member dropout keys;
+- the sample axis is ``vmap`` over PRNG keys (SSN draws, prob-U-Net latents,
+  diffusion start noise, TTA transform parameters);
+- diffusion timesteps are a ``lax.scan`` inside each trajectory.
+
+Grouping semantics match the reference exactly:
+
+- every member contributes one *group* of samples: generative AU types and
+  softmax+TTA give ``n_pred`` samples per group; plain softmax gives 1;
+- ``multiple_generative`` (more than one generative member and not
+  ``direct_au``): groups stay per-member. Otherwise each sample becomes its
+  own singleton group (``test_2D.py:1160-1180``);
+- the downstream "softmax_pred" P-axis is the stack of per-group means
+  (``test_2D.py:1277``), which feeds the C2 measures and BMA-GED; grouped GED
+  consumes the raw groups;
+- ``same_dropout`` reuses one dropout key per member across all its samples
+  (seeded dropout, ``seeded_dropout.py:42-210``);
+- ``discretize`` one-hots each sample's argmax before averaging.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models import ssn as ssn_lib
+from ..models.factory import BuiltModel
+from ..models.prob_unet import sample_latent
+from .tta import TTAConfig, apply_tta, invert_tta, sample_tta_params
+
+
+@dataclasses.dataclass(frozen=True)
+class SamplerSpec:
+    n_pred: int = 10
+    n_members: int = 1
+    member_mode: str = "single"  # single | params_stack | dropout
+    tta: bool = False
+    tta_config: TTAConfig = TTAConfig()
+    same_dropout: bool = False
+    discretize: bool = False
+    direct_au: bool = False
+    diffusion_num_steps: int | None = None  # None -> model default
+    diffusion_sampler: str | None = None
+
+
+class PredictionStack(NamedTuple):
+    groups: jnp.ndarray  # (G, S, B, H, W, C) softmax samples
+    group_means: jnp.ndarray  # (G, B, H, W, C) — the reference's "softmax_pred"
+    mean: jnp.ndarray  # (B, H, W, C)
+
+
+class SamplerMeta(NamedTuple):
+    """Static (non-traced) structure of the stack a sampler emits."""
+
+    n_groups: int
+    samples_per_group: int
+    group_is_generative: tuple  # tuple of bools, length n_groups
+
+
+def make_sampler(built: BuiltModel, spec: SamplerSpec) -> Callable:
+    """Build ``fn(params, images, rng) -> PredictionStack``.
+
+    ``params``: a single param pytree (member_mode single/dropout) or a
+    stacked pytree with leading member axis (member_mode params_stack).
+    ``images``: (B, H, W, C_in) preprocessed inputs. The returned fn is pure
+    and jittable; wrap in ``jax.jit`` (or pjit with a (data, member) mesh) at
+    the call site.
+    """
+    au = built.au_type
+    module = built.module
+    n_pred = spec.n_pred
+    needs_dropout = built.needs_dropout_rng
+
+    # per-member sample count (group size) — reference: generative AU and
+    # softmax+TTA produce n_pred; plain softmax produces 1
+    member_is_generative = built.is_generative or (au == "softmax" and spec.tta)
+    samples_per_member = n_pred if member_is_generative else 1
+
+    num_steps = spec.diffusion_num_steps or built.diffusion_num_steps
+    sampler_type = spec.diffusion_sampler or built.diffusion_sampler_type
+
+    def _apply(params, *args, dropout_key=None, method=None, **kw):
+        rngs = {"dropout": dropout_key} if (needs_dropout and dropout_key is not None) else None
+        if method is None:
+            return module.apply(params, *args, rngs=rngs, **kw)
+        return module.apply(params, *args, rngs=rngs, method=method, **kw)
+
+    # ---- per-member group builders: (params, member_rng, images) -> (S,B,H,W,C)
+    def softmax_group(params, member_rng, images):
+        kd, ks = jax.random.split(member_rng)
+        if not spec.tta:
+            logits = _apply(params, images, dropout_key=kd).logits
+            probs = jax.nn.softmax(logits, axis=-1)
+            return probs[None]  # (1, B, H, W, C)
+
+        b, h, w, _ = images.shape
+
+        def one_round(key):
+            k_tta, k_drop = jax.random.split(key)
+            tta_params = sample_tta_params(spec.tta_config, k_tta, b, h, w)
+            aug = apply_tta(images, tta_params)
+            dk = kd if spec.same_dropout else k_drop
+            logits = _apply(params, aug, dropout_key=dk).logits
+            probs = jax.nn.softmax(logits, axis=-1)
+            return invert_tta(probs, tta_params)
+
+        return jax.vmap(one_round)(jax.random.split(ks, n_pred))
+
+    def ssn_group(params, member_rng, images):
+        kd, ks = jax.random.split(member_rng)
+        out = _apply(params, images, dropout_key=kd)
+        dist = ssn_lib.build_distribution(out.ssn_mean, out.ssn_cov_diag, out.ssn_cov_factor)
+        flat = ssn_lib.sample_n(dist, ks, n_pred)  # (S, B, N)
+        b, h, w, c = out.logits.shape
+        logits = flat.reshape(n_pred, b, h, w, c)
+        return jax.nn.softmax(logits, axis=-1)
+
+    def diffusion_group(params, member_rng, images):
+        kd, ks = jax.random.split(member_rng)
+        b, h, w, _ = images.shape
+        c = built.num_classes
+
+        def model_fn(x_with_im, t, step_key):
+            dk = kd if spec.same_dropout else step_key
+            return _apply(params, x_with_im, t, dropout_key=dk).logits
+
+        def one_traj(key):
+            k_init, k_loop = jax.random.split(key)
+            x_init = jax.random.normal(k_init, (b, h, w, c), images.dtype)
+            x0 = built.diffusion.sample_loop(
+                model_fn, x_init, images, num_steps, rng=k_loop,
+                sampler_type=sampler_type, model_takes_rng=True,
+            )
+            return x0
+
+        # NOTE: model final_act=softmax for diffusion configs; x0 is already
+        # a simplex-ish field but the reference still treats samples directly
+        # as softmax_pred (the model emits softmax outputs by construction).
+        return jax.vmap(one_traj)(jax.random.split(ks, n_pred))
+
+    def prob_unet_group(params, member_rng, images):
+        kd, ks = jax.random.split(member_rng)
+        out = _apply(params, images, dropout_key=kd)
+
+        def one_sample(key):
+            z = sample_latent(out.prior, key)
+            logits = _apply(params, out.features, z, dropout_key=kd, method=module.decode)
+            return jax.nn.softmax(logits, axis=-1)
+
+        return jax.vmap(one_sample)(jax.random.split(ks, n_pred))
+
+    group_fn = {
+        "softmax": softmax_group,
+        "ssn": ssn_group,
+        "diffusion": diffusion_group,
+        "prob_unet": prob_unet_group,
+    }[au]
+
+    n_members = spec.n_members if spec.member_mode != "single" else 1
+    generative_count = n_members if member_is_generative else 0
+    multiple_generative = generative_count > 1 and not spec.direct_au
+    split_into_singletons = member_is_generative and not multiple_generative
+
+    if split_into_singletons:
+        meta = SamplerMeta(
+            n_groups=n_members * samples_per_member,
+            samples_per_group=1,
+            group_is_generative=tuple([built.is_generative] * (n_members * samples_per_member)),
+        )
+    else:
+        meta = SamplerMeta(
+            n_groups=n_members,
+            samples_per_group=samples_per_member,
+            # softmax+TTA groups are tagged non-generative (test_2D.py:1246)
+            group_is_generative=tuple([built.is_generative] * n_members),
+        )
+
+    def sampler(params, images, rng):
+        member_keys = jax.random.split(rng, n_members)
+        if spec.member_mode == "params_stack":
+            groups = jax.vmap(group_fn, in_axes=(0, 0, None))(params, member_keys, images)
+        elif spec.member_mode == "dropout":
+            groups = jax.vmap(group_fn, in_axes=(None, 0, None))(params, member_keys, images)
+        else:
+            groups = group_fn(params, member_keys[0], images)[None]
+        # groups: (M, S, B, H, W, C)
+
+        if spec.discretize:
+            c = groups.shape[-1]
+            groups = jax.nn.one_hot(jnp.argmax(groups, axis=-1), c, dtype=groups.dtype)
+
+        if split_into_singletons:
+            # each sample becomes its own singleton group (test_2D.py:1160-1180)
+            m, s = groups.shape[0], groups.shape[1]
+            groups = groups.reshape(m * s, 1, *groups.shape[2:])
+
+        group_means = jnp.mean(groups, axis=1)
+        mean = jnp.mean(group_means, axis=0)
+        return PredictionStack(groups, group_means, mean)
+
+    sampler.meta = meta
+    return sampler

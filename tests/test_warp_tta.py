@@ -1,0 +1,104 @@
+"""Affine warp and TTA tests."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+import scipy.ndimage as ndi
+
+from diffuncertainty_tpu.ops.warp import (
+    compose_affine,
+    hflip_matrix,
+    invert_affine,
+    rotation_matrix,
+    warp_affine,
+)
+from diffuncertainty_tpu.sampling import (
+    TTAConfig,
+    apply_tta,
+    invert_tta,
+    sample_tta_params,
+)
+
+
+def test_invert_affine_round_trip(rng):
+    m = jnp.asarray(rng.standard_normal((5, 2, 3)).astype(np.float32))
+    m = m.at[:, 0, 0].add(2.0)  # keep well-conditioned
+    m = m.at[:, 1, 1].add(2.0)
+    ident = compose_affine(m, invert_affine(m))
+    expect = np.broadcast_to(np.asarray([[1, 0, 0], [0, 1, 0]], np.float32), (5, 2, 3))
+    np.testing.assert_allclose(np.asarray(ident), expect, atol=1e-5)
+
+
+def test_hflip_warp_is_exact(rng):
+    x = rng.standard_normal((2, 6, 8, 3)).astype(np.float32)
+    m = jnp.broadcast_to(hflip_matrix(8), (2, 2, 3))
+    out = np.asarray(warp_affine(jnp.asarray(x), m))
+    np.testing.assert_allclose(out, x[:, :, ::-1, :], atol=1e-6)
+
+
+@pytest.mark.parametrize("mode", ["replicate", "constant"])
+def test_rotation_matches_scipy(rng, mode):
+    """warp_affine vs scipy.ndimage.affine_transform (order=1 bilinear)."""
+    h = w = 16
+    x = rng.standard_normal((1, h, w, 1)).astype(np.float32)
+    angle, scale = 17.0, 1.1
+    center = ((w - 1) / 2.0, (h - 1) / 2.0)
+    m_fwd = rotation_matrix(jnp.asarray([angle]), jnp.asarray([scale]), center)
+    dst_to_src = invert_affine(m_fwd)
+    got = np.asarray(
+        warp_affine(
+            jnp.asarray(x), dst_to_src,
+            border_mode=("replicate" if mode == "replicate" else "constant"),
+            border_value=0.0,
+        )
+    )[0, :, :, 0]
+
+    # scipy affine_transform: out[o] = in[matrix @ o + offset], coords (row, col)
+    m = np.asarray(dst_to_src)[0]  # x' = a x + b y + c (xy order)
+    mat_rc = np.array([[m[1, 1], m[1, 0]], [m[0, 1], m[0, 0]]])
+    off_rc = np.array([m[1, 2], m[0, 2]])
+    ref = ndi.affine_transform(
+        x[0, :, :, 0], mat_rc, offset=off_rc, order=1,
+        mode=("nearest" if mode == "replicate" else "grid-constant"), cval=0.0,
+    )
+    np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
+def test_nearest_interpolation_labels(rng):
+    labels = rng.integers(0, 5, (1, 12, 12, 1)).astype(np.float32)
+    m_fwd = rotation_matrix(jnp.asarray([30.0]), jnp.asarray([1.0]), (5.5, 5.5))
+    out = np.asarray(
+        warp_affine(jnp.asarray(labels), invert_affine(m_fwd), interpolation="nearest")
+    )
+    assert set(np.unique(out)).issubset(set(np.unique(labels)))  # no blending
+
+
+def test_tta_round_trip_interior(rng):
+    """invert(apply(x)) ~= x away from borders."""
+    cfg = TTAConfig(hflip_p=1.0, rotation_limit=20.0, scale_limit=(0.0, 0.2))
+    # smooth probability field: bilinear resampling is only near-invertible on
+    # band-limited signals (same as the reference's cv2 round trip)
+    yy, xx = np.meshgrid(np.linspace(0, 1, 32), np.linspace(0, 1, 32), indexing="ij")
+    p1 = (0.3 + 0.4 * np.sin(2 * np.pi * xx) * np.cos(2 * np.pi * yy)).astype(np.float32)
+    x = np.stack([np.stack([p1, 1 - p1], axis=-1)] * 3)
+    params = sample_tta_params(cfg, jax.random.key(0), 3, 32, 32)
+    back = np.asarray(invert_tta(apply_tta(jnp.asarray(x), params), params))
+    inner = (slice(None), slice(8, 24), slice(8, 24), slice(None))
+    np.testing.assert_allclose(back[inner], x[inner], atol=0.06)
+    # simplex preserved everywhere
+    np.testing.assert_allclose(back.sum(-1), 1.0, atol=1e-5)
+
+
+def test_tta_augment_mult_zero_is_identity_distribution():
+    cfg = TTAConfig(hflip_p=0.5, rotation_limit=22.5, scale_limit=(-0.2, 0.2), augment_mult=0.0)
+    params = sample_tta_params(cfg, jax.random.key(1), 4, 16, 16)
+    ident = np.broadcast_to(np.asarray([[1, 0, 0], [0, 1, 0]], np.float32), (4, 2, 3))
+    np.testing.assert_allclose(np.asarray(params.forward), ident, atol=1e-5)
+
+
+def test_tta_params_differ_across_keys():
+    cfg = TTAConfig()
+    a = sample_tta_params(cfg, jax.random.key(0), 2, 16, 16)
+    b = sample_tta_params(cfg, jax.random.key(1), 2, 16, 16)
+    assert np.abs(np.asarray(a.forward) - np.asarray(b.forward)).max() > 1e-3
