@@ -1,0 +1,353 @@
+"""Training loop: jitted step, EMA, SWAG collection, checkpoints, val.
+
+Replaces the reference's pytorch-lightning Trainer + LightningExperiment +
+callbacks (``main.py``, ``lightning_experiment.py``, ``callbacks.py``) with a
+plain JAX loop:
+
+- one jitted ``train_step`` fusing forward, loss, grad, clip-by-global-norm,
+  AdamW, and the EMA lerp (decay-average with first-step copy, matching
+  ``_ema_avg_fn`` at ``lightning_experiment.py:312-321``);
+- SWAG snapshots at epoch end over the reference schedule
+  (``start = (max_epochs-1) - freq*(K-1)``, every ``freq``,
+  ``:340-359, 369-372``);
+- scheduled small checkpoints (linear/exponential epochs, EMA-only when
+  configured) + ``last`` full state each validation epoch
+  (``callbacks.py:15-183``);
+- graceful wall-clock stop (``callbacks.py:186-226``);
+- data parallelism: batches sharded over the mesh "data" axis; with
+  replicated params, XLA inserts the gradient all-reduce.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import time
+from pathlib import Path
+from typing import Any, Iterable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..core.checkpoint import save_checkpoint, scheduled_epochs
+from ..core.config import ExperimentConfig
+from ..metrics.dice import dice_bin, dice_multiclass_micro
+from ..models import swag as swag_lib
+from ..models.factory import BuiltModel, build_model
+from ..parallel.mesh import make_mesh, shard_batch, replicate
+from .losses import make_loss_fn
+
+
+class TrainState(NamedTuple):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    ema_params: Any  # None when EMA disabled
+
+
+class Trainer:
+    def __init__(
+        self,
+        cfg: ExperimentConfig,
+        built: BuiltModel | None = None,
+        workdir: str | Path | None = None,
+    ):
+        self.cfg = cfg
+        self.built = built or build_model(cfg)
+        self.workdir = Path(
+            workdir
+            if workdir is not None
+            else Path(cfg.save_dir) / cfg.auto_exp_name / (cfg.version or "v0")
+        )
+        self.workdir.mkdir(parents=True, exist_ok=True)
+        self.mesh = make_mesh(tuple(cfg.trainer.mesh_shape), tuple(cfg.trainer.mesh_axis_names)) \
+            if int(np.prod(cfg.trainer.mesh_shape)) > 1 else None
+
+        tx = optax.chain(
+            optax.clip_by_global_norm(cfg.trainer.gradient_clip_val),
+            optax.adamw(cfg.trainer.learning_rate, weight_decay=cfg.trainer.weight_decay),
+        )
+        self.tx = tx
+        self.track_ema = cfg.ema.track_ema_weights
+        self.ema_decay = cfg.ema.ema_decay
+
+        swag_cfg = cfg.eu_method.swag
+        self.swag_enabled = swag_cfg.enabled
+        self.swag_state = None
+        if self.swag_enabled:
+            freq = max(1, swag_cfg.snapshot_frequency)
+            span = freq * max(swag_cfg.max_snapshots - 1, 0)
+            self.swag_start_epoch = max(cfg.trainer.max_epochs - 1 - span, 0)
+            self.swag_freq = freq
+        self._jitted_steps: dict[bool, Any] = {}
+        self._metrics_file = self.workdir / "metrics.jsonl"
+
+    # ---- state ------------------------------------------------------------
+
+    def init_state(self, rng: jax.Array, sample_batch: dict) -> TrainState:
+        built = self.built
+        img = jnp.asarray(sample_batch["image"][:1])
+        rngs = {"params": rng}
+        if built.needs_dropout_rng:
+            rngs["dropout"] = jax.random.fold_in(rng, 1)
+        if built.au_type == "diffusion":
+            x = jnp.zeros(img.shape[:-1] + (built.module.in_channels,), img.dtype)
+            params = built.module.init(rngs, x, jnp.zeros((1,)))
+        elif built.au_type == "prob_unet":
+            segm = jnp.zeros(img.shape[:-1] + (built.num_classes,), img.dtype)
+            params = built.module.init(
+                rngs, img, segm, built.module.init_input_latent(1)
+            )
+        else:
+            params = built.module.init(rngs, img)
+        opt_state = self.tx.init(params)
+        ema = jax.tree.map(jnp.copy, params) if self.track_ema else None
+        if self.swag_enabled:
+            self.swag_state = swag_lib.init(
+                params, self.cfg.eu_method.swag.max_snapshots,
+                diag_only=self.cfg.eu_method.swag.diag_only,
+            )
+        state = TrainState(jnp.zeros((), jnp.int32), params, opt_state, ema)
+        if self.mesh is not None:
+            state = replicate(state, self.mesh)
+        return state
+
+    # ---- jitted step -------------------------------------------------------
+
+    def _make_step(self, ssn_mean_only: bool):
+        loss_fn = make_loss_fn(
+            self.built,
+            ignore_index=self.cfg.data.ignore_index,
+            n_aleatoric_samples=self.cfg.model.n_aleatoric_samples,
+            ssn_mean_only=ssn_mean_only,
+        )
+        ema_decay = self.ema_decay
+        track_ema = self.track_ema
+
+        def step(state: TrainState, batch, rng, sched):
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params, batch, rng, sched
+            )
+            updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            if track_ema:
+                w = jnp.where(state.step == 0, 0.0, ema_decay)
+                ema = jax.tree.map(
+                    lambda e, p: w * e + (1.0 - w) * p, state.ema_params, params
+                )
+            else:
+                ema = state.ema_params
+            aux = dict(aux)
+            aux["grad_norm"] = optax.global_norm(grads)
+            return TrainState(state.step + 1, params, opt_state, ema), aux
+
+        return jax.jit(step, donate_argnums=(0,))
+
+    def _get_step(self, ssn_mean_only: bool):
+        if ssn_mean_only not in self._jitted_steps:
+            self._jitted_steps[ssn_mean_only] = self._make_step(ssn_mean_only)
+        return self._jitted_steps[ssn_mean_only]
+
+    # ---- epoch-level schedule ---------------------------------------------
+
+    def _sched_for_epoch(self, epoch: int) -> dict:
+        sched = {}
+        if self.built.au_type == "prob_unet":
+            spec = self.built.prob_unet_spec
+            sched["beta"] = jnp.asarray(spec.beta_at_epoch(epoch), jnp.float32)
+        return sched
+
+    def _maybe_collect_swag(self, params, epoch: int) -> bool:
+        if not self.swag_enabled:
+            return False
+        if int(self.swag_state.n_models) >= self.cfg.eu_method.swag.max_snapshots:
+            return False
+        if epoch < self.swag_start_epoch:
+            return False
+        if (epoch - self.swag_start_epoch) % self.swag_freq != 0:
+            return False
+        self.swag_state = jax.jit(
+            swag_lib.collect, static_argnames=("max_num_models",)
+        )(self.swag_state, params, max_num_models=self.cfg.eu_method.swag.max_snapshots)
+        return True
+
+    # ---- validation --------------------------------------------------------
+
+    def _mean_prediction(self, params, images, rng):
+        """Deterministic-ish mean prediction per AU type for val dice."""
+        built = self.built
+        if built.au_type in ("softmax", "ssn"):
+            out = built.module.apply(
+                params, images,
+                rngs={"dropout": rng} if built.needs_dropout_rng else None,
+            )
+            return jax.nn.softmax(out.logits, axis=-1)
+        if built.au_type == "prob_unet":
+            rngs = {"dropout": rng} if built.needs_dropout_rng else None
+            out = built.module.apply(params, images, rngs=rngs)
+            logits = built.module.apply(
+                params, out.features, out.prior.mu, rngs=rngs,
+                method=built.module.decode,
+            )
+            return jax.nn.softmax(logits, axis=-1)
+        # diffusion: one sampled trajectory
+        def model_fn(x, t, key):
+            rngs = {"dropout": key} if built.needs_dropout_rng else None
+            return built.module.apply(params, x, t, rngs=rngs).logits
+
+        b, h, w, _ = images.shape
+        k1, k2 = jax.random.split(rng)
+        x_init = jax.random.normal(k1, (b, h, w, built.num_classes), images.dtype)
+        x0 = built.diffusion.sample_loop(
+            model_fn, x_init, images, self.built.diffusion_num_steps, rng=k2,
+            sampler_type=self.built.diffusion_sampler_type, model_takes_rng=True,
+        )
+        return x0
+
+    def evaluate(self, state: TrainState, val_loader, *, epoch: int, use_ema: bool = False) -> dict:
+        params = state.ema_params if (use_ema and self.track_ema) else state.params
+        loss_fn = make_loss_fn(
+            self.built,
+            ignore_index=self.cfg.data.ignore_index,
+            n_aleatoric_samples=self.cfg.model.n_aleatoric_samples,
+            ssn_mean_only=False,
+        )
+        loss_j = jax.jit(loss_fn)
+        pred_j = jax.jit(self._mean_prediction)
+        losses, dices = [], []
+        rng = jax.random.key(self.cfg.seed + 1000 + epoch)
+        num_classes = self.built.num_classes
+        for i, batch in enumerate(val_loader):
+            rng, k1, k2 = jax.random.split(rng, 3)
+            jbatch = {"image": jnp.asarray(batch["image"]), "seg": jnp.asarray(batch["seg"])}
+            sched = self._sched_for_epoch(epoch)
+            loss, _ = loss_j(params, jbatch, k1, sched)
+            probs = pred_j(params, jbatch["image"], k2)
+            pred_idx = jnp.argmax(probs, axis=-1)
+            seg = jbatch["seg"]
+            if seg.ndim == 3:
+                seg = seg[:, None]
+            if num_classes == 2:
+                d = dice_bin(pred_idx[:, None], seg)  # (B, R)
+            else:
+                d = dice_multiclass_micro(
+                    pred_idx[:, None], seg, num_classes,
+                    ignore_index=self.cfg.data.ignore_index,
+                )
+            valid = np.asarray(batch["valid"])
+            losses.append(float(loss))
+            dices.extend(np.asarray(jnp.mean(d, axis=1))[valid].tolist())
+        return {"val_loss": float(np.mean(losses)), "val_dice": float(np.mean(dices))}
+
+    # ---- fit ---------------------------------------------------------------
+
+    def fit(self, train_loader, val_loader=None, *, resume_state: TrainState | None = None,
+            start_epoch: int = 0) -> TrainState:
+        cfg = self.cfg
+        t_start = time.time()
+        shutdown_after = cfg.ckpt_save_freq.shutdown_timer if cfg.ckpt_save_freq.do_shutdown else None
+
+        state = resume_state
+        rng = jax.random.key(cfg.seed)
+        sched_ckpt_epochs = set(
+            scheduled_epochs(
+                max_epochs=cfg.trainer.max_epochs,
+                use_linear=cfg.ckpt_save_freq.use_linear_saving,
+                linear_freq=cfg.ckpt_save_freq.linear_freq,
+                use_exponential=cfg.ckpt_save_freq.use_exponential_saving,
+                exponent_base=cfg.ckpt_save_freq.exponent_base,
+                exponential_start=cfg.ckpt_save_freq.exponential_start,
+            )
+        )
+
+        for epoch in range(start_epoch, cfg.trainer.max_epochs):
+            train_loader.set_epoch(epoch)
+            ssn_mean_only = (
+                self.built.au_type == "ssn"
+                and epoch < self.cfg.model.ssn_pretrain_epochs
+            )
+            step_fn = self._get_step(ssn_mean_only)
+            sched = self._sched_for_epoch(epoch)
+            epoch_losses = []
+            for batch in train_loader:
+                if state is None:
+                    state = self.init_state(jax.random.fold_in(rng, 7919), batch)
+                rng, step_key = jax.random.split(rng)
+                jbatch = {
+                    "image": jnp.asarray(batch["image"]),
+                    "seg": jnp.asarray(batch["seg"]),
+                }
+                if self.mesh is not None:
+                    jbatch = shard_batch(jbatch, self.mesh)
+                state, aux = step_fn(state, jbatch, step_key, sched)
+                epoch_losses.append(aux["loss"])
+
+            train_loss = float(jnp.mean(jnp.stack(epoch_losses)))
+            log = {"epoch": epoch, "train_loss": train_loss}
+
+            self._maybe_collect_swag(state.params, epoch)
+
+            if val_loader is not None and (epoch + 1) % cfg.trainer.val_every_n_epochs == 0:
+                log.update(self.evaluate(state, val_loader, epoch=epoch))
+            self._log(log)
+
+            if epoch in sched_ckpt_epochs:
+                self._save_scheduled(state, epoch)
+            self._save_last(state, epoch)
+
+            if shutdown_after is not None and time.time() - t_start > shutdown_after:
+                self._log({"epoch": epoch, "event": "graceful_shutdown"})
+                break
+        return state
+
+    # ---- checkpoint/save helpers -------------------------------------------
+
+    def _ckpt_dir(self) -> Path:
+        return self.workdir / "checkpoints"
+
+    def _full_state_dict(self, state: TrainState) -> dict:
+        d = {
+            "params": state.params,
+            "opt_state": state.opt_state,
+            "step": state.step,
+        }
+        if state.ema_params is not None:
+            d["ema_params"] = state.ema_params
+        if self.swag_state is not None:
+            d["swag_state"] = {
+                "n_models": self.swag_state.n_models,
+                "mean": self.swag_state.mean,
+                "sq_mean": self.swag_state.sq_mean,
+                **({"dev": self.swag_state.dev} if self.swag_state.dev is not None else {}),
+            }
+        return d
+
+    def _save_last(self, state: TrainState, epoch: int) -> None:
+        save_checkpoint(
+            self._ckpt_dir() / "last", self._full_state_dict(state), self.cfg,
+            epoch=epoch, kind="full",
+        )
+
+    def _save_scheduled(self, state: TrainState, epoch: int) -> None:
+        if self.cfg.ema.only_save_ema and state.ema_params is not None:
+            payload = {"ema_params": state.ema_params}
+            kind = "ema_only"
+        else:
+            payload = {"params": state.params}
+            if state.ema_params is not None:
+                payload["ema_params"] = state.ema_params
+            kind = "weights"
+        save_checkpoint(
+            self._ckpt_dir() / f"epoch_{epoch:06d}", payload, self.cfg,
+            epoch=epoch, kind=kind,
+        )
+
+    def _log(self, record: dict) -> None:
+        with open(self._metrics_file, "a") as f:
+            f.write(json.dumps(record) + "\n")
+        printable = ", ".join(
+            f"{k}={v:.5g}" if isinstance(v, float) else f"{k}={v}" for k, v in record.items()
+        )
+        print(f"[train] {printable}")
