@@ -1,0 +1,247 @@
+"""Uncertainty-inference orchestration (the reference Tester, re-designed).
+
+Reference: ``test_2D.py:291-1459``. Differences by design:
+
+- EU member expansion produces a *stacked parameter pytree* (deep ensembles:
+  stack checkpoints; SWAG: ``swag.sample_members``; masked sub-ensembles:
+  materialized members), fed to one vmapped sampler — not a Python list of
+  modules hopped between CPU and GPU (``:711-727``);
+- sampling, C2 heatmaps, dice/GED/NLL all run inside two jitted programs per
+  batch (sampler + batch_metrics); the host only does npy IO and JSON/PNG
+  writing;
+- checkpoints are self-describing (config embedded), so the runner needs only
+  paths + runtime flags, like the reference CLI.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from pathlib import Path
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.checkpoint import load_checkpoint
+from ..core.config import ExperimentConfig
+from ..data.augment import TrainAugmentConfig, normalize_batch
+from ..data.dataset import MultiRaterDataset
+from ..data.loader import BatchLoader
+from ..models import swag as swag_lib
+from ..models.factory import BuiltModel, build_model
+from ..sampling.sampler import SamplerSpec, make_sampler
+from ..sampling.tta import TTAConfig
+from .batch_metrics import make_batch_metrics
+from .results import ResultsWriter, result_split_dir
+
+
+@dataclasses.dataclass
+class InferenceConfig:
+    n_pred: int = 10
+    n_models: int = 10
+    tta: bool = False
+    same_dropout: bool = False
+    discretize: bool = False
+    direct_au: bool = False
+    use_ema: bool = False
+    batch_size: int = 16
+    seed: int = 123
+    metrics_compute: tuple[str, ...] = ("dice", "ged", "ged_bma")
+    save_likelihood: bool = True
+    save_outputs: bool = True
+    skip_existing: bool = False
+    diffusion_num_steps: int | None = None
+    diffusion_sampler: str | None = None
+    swag_scale: float = 1.0
+    swag_blockwise: bool = False
+    data_input_dir: str | None = None
+    save_dir: str | None = None
+    version: str = "v0"
+
+
+class UncertaintyInference:
+    """Load checkpoint(s), expand EU members, run fused prediction+metrics."""
+
+    def __init__(self, checkpoint_paths: Sequence[str | Path], icfg: InferenceConfig):
+        self.icfg = icfg
+        if not checkpoint_paths:
+            raise ValueError("at least one checkpoint path required")
+        states, configs, metas = [], [], []
+        for p in checkpoint_paths:
+            s, c, m = load_checkpoint(p)
+            states.append(s)
+            configs.append(c)
+            metas.append(m)
+        self.cfg: ExperimentConfig = configs[0]
+        self.epoch = int(metas[0]["epoch"])
+        self.built: BuiltModel = build_model(self.cfg)
+
+        def pick_params(state: dict) -> Any:
+            if icfg.use_ema:
+                if "ema_params" not in state:
+                    raise ValueError("use_ema requested but checkpoint has no ema_params")
+                return state["ema_params"]
+            if "params" in state:
+                return state["params"]
+            # ema-only scheduled snapshot
+            return state["ema_params"]
+
+        params_list = [pick_params(s) for s in states]
+
+        eu = self.built.eu_type
+        if len(params_list) > 1:
+            # deep ensemble: stacked params, one member per checkpoint
+            self.params = jax.tree.map(lambda *xs: jnp.stack(xs), *params_list)
+            member_mode, n_members = "params_stack", len(params_list)
+        elif eu in ("swag", "swag_diag"):
+            swag_raw = states[0].get("swag_state")
+            if swag_raw is None:
+                raise ValueError("SWAG checkpoint lacks swag_state")
+            swag_state = swag_lib.SwagState(
+                n_models=jnp.asarray(swag_raw["n_models"]),
+                mean=swag_raw["mean"],
+                sq_mean=swag_raw["sq_mean"],
+                dev=swag_raw.get("dev"),
+            )
+            self.params = swag_lib.sample_members(
+                swag_state,
+                jax.random.key(icfg.seed),
+                icfg.n_models,
+                max_num_models=self.cfg.eu_method.swag.max_snapshots,
+                scale=icfg.swag_scale,
+                use_low_rank=(eu == "swag"),
+                blockwise=icfg.swag_blockwise,
+                var_clamp=self.cfg.eu_method.swag.min_variance,
+            )
+            member_mode, n_members = "params_stack", icfg.n_models
+        elif eu == "dropout":
+            self.params = params_list[0]
+            member_mode, n_members = "dropout", icfg.n_models
+        else:
+            self.params = params_list[0]
+            member_mode, n_members = "single", 1
+
+        aug = self.cfg.data.augmentations
+        self.spec = SamplerSpec(
+            n_pred=icfg.n_pred,
+            n_members=n_members,
+            member_mode=member_mode,
+            tta=icfg.tta,
+            tta_config=TTAConfig(
+                hflip_p=aug.hflip_p,
+                rotation_limit=aug.rotation_limit,
+                scale_limit=tuple(aug.scale_limit),
+                augment_mult=aug.augment_mult if aug.augment_mult > 0 else 1.0,
+            ),
+            same_dropout=icfg.same_dropout,
+            discretize=icfg.discretize,
+            direct_au=icfg.direct_au,
+            diffusion_num_steps=icfg.diffusion_num_steps,
+            diffusion_sampler=icfg.diffusion_sampler,
+        )
+        self.sampler = make_sampler(self.built, self.spec)
+        self._jit_sampler = jax.jit(self.sampler)
+        self.aug_cfg = TrainAugmentConfig(
+            mean=tuple(aug.mean), std=tuple(aug.std)
+        )
+        self.metrics_fn = make_batch_metrics(
+            num_classes=self.built.num_classes,
+            ignore_index=self.cfg.data.ignore_index,
+            meta=self.sampler.meta,
+            compute_dice="dice" in icfg.metrics_compute,
+            compute_ged="ged" in icfg.metrics_compute,
+            compute_ged_bma="ged_bma" in icfg.metrics_compute,
+            compute_likelihood=icfg.save_likelihood,
+        )
+
+    # ---- data -------------------------------------------------------------
+
+    def _dataset(self, split: str) -> MultiRaterDataset:
+        data_dir = self.icfg.data_input_dir or self.cfg.data.data_input_dir
+        splits_path = self.cfg.data.splits_path or (
+            Path(data_dir) / "splits" / self.cfg.data.split_name / "firstCycle" / "splits.pkl"
+        )
+        return MultiRaterDataset(
+            splits_path, data_dir, split=split,
+            data_fold_id=self.cfg.data.data_fold_id,
+            return_all_raters=True,
+        )
+
+    # ---- run --------------------------------------------------------------
+
+    def split_dir(self, split: str) -> Path:
+        save_dir = self.icfg.save_dir or self.cfg.save_dir
+        return result_split_dir(
+            save_dir, self.cfg.auto_exp_name, self.icfg.n_pred,
+            self.icfg.version, self.epoch, self.icfg.use_ema, split,
+        )
+
+    def run_split(self, split: str) -> dict:
+        icfg = self.icfg
+        out_dir = self.split_dir(split)
+        if icfg.skip_existing and (out_dir / "metrics.json").exists():
+            return {"skipped": True, "split": split}
+        ds = self._dataset(split)
+        loader = BatchLoader(ds, icfg.batch_size, shuffle=False)
+        writer = ResultsWriter(out_dir, binary=self.built.num_classes == 2)
+        rng = jax.random.key(icfg.seed)
+        n_images = 0
+        t0 = time.time()
+        for batch in loader:
+            rng, key = jax.random.split(rng)
+            images = normalize_batch(jnp.asarray(batch["image"]), self.aug_cfg)
+            stack = self._jit_sampler(self.params, images, key)
+            gt = jnp.asarray(batch["seg"])
+            results = self.metrics_fn(stack, gt)
+            results = jax.device_get(results)
+            valid = np.asarray(batch["valid"])
+            gt_np = np.asarray(batch["seg"])
+            for i in np.nonzero(valid)[0]:
+                image_id = batch["image_id"][i]
+                dataset_name = batch["dataset"][i]
+                metrics = {
+                    k: float(np.asarray(results[k][i]))
+                    for k in ("dice", "ged", "ged_bma", "max_dice_pred",
+                              "max_dice_gt", "major_dice")
+                    if k in results
+                }
+                writer.add_metrics(image_id, dataset_name, metrics)
+                if icfg.save_likelihood and "mean_NLL" in results:
+                    rec = {
+                        "gt_model_NLL": np.asarray(results["gt_model_NLL"][i]).tolist(),
+                        "gt_NLL": np.asarray(results["gt_NLL"][i]).tolist(),
+                        "mean_NLL": float(results["mean_NLL"][i]),
+                    }
+                    if "gen_NLL" in results:
+                        rec["gen_NLL"] = float(results["gen_NLL"][i])
+                    writer.add_likelihood(image_id, dataset_name, rec)
+                if icfg.save_outputs:
+                    ign = self.cfg.data.ignore_index
+                    ignore_mask = (
+                        (gt_np[i][0] == ign) if ign is not None and ign != 0 else None
+                    )
+                    writer.save_prediction(
+                        image_id,
+                        np.asarray(results["group_idx"][i]),
+                        np.asarray(results["mean_idx"][i]),
+                        ignore_mask,
+                    )
+                    heatmaps = {
+                        k: np.asarray(v[i]) for k, v in results["heatmaps"].items()
+                    }
+                    writer.save_uncertainty(image_id, heatmaps)
+                n_images += 1
+        writer.flush()
+        elapsed = time.time() - t0
+        return {
+            "split": split,
+            "n_images": n_images,
+            "seconds": elapsed,
+            "images_per_sec": n_images / elapsed if elapsed > 0 else float("nan"),
+            "out_dir": str(out_dir),
+        }
+
+    def run(self, splits: Sequence[str]) -> list[dict]:
+        return [self.run_split(s) for s in splits]

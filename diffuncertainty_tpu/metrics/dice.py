@@ -70,6 +70,60 @@ def dice_multiclass_micro(
     return jnp.where(n_valid == 0, 1.0, jnp.where(all_bg, 1.0, score))
 
 
+def dice_bin_masked(
+    pred: jnp.ndarray, gt: jnp.ndarray, ignore_index: int | None
+) -> jnp.ndarray:
+    """Binary Dice with per-rater valid masks — the reference's vectorized
+    LIDC path (``test_2D.py:874-898``). pred (..., H, W) in {0,1}; gt may
+    contain ``ignore_index``; returns (...)."""
+    axes = (-2, -1)
+    if ignore_index is None:
+        valid = jnp.ones_like(gt, dtype=jnp.bool_)
+    else:
+        valid = gt != ignore_index
+    pred_pos = (pred == 1) & valid
+    gt_pos = (gt == 1) & valid
+    tp = jnp.sum(pred_pos & gt_pos, axis=axes).astype(jnp.float32)
+    pred_sum = jnp.sum(pred_pos, axis=axes).astype(jnp.float32)
+    gt_sum = jnp.sum(gt_pos, axis=axes).astype(jnp.float32)
+    denom = 2 * tp + (pred_sum - tp) + (gt_sum - tp)
+    both_empty = (pred_sum == 0) & (gt_sum == 0)
+    one_empty = (pred_sum == 0) ^ (gt_sum == 0)
+    regular = 2.0 * tp / jnp.where(denom > 0, denom, 1.0)
+    return jnp.where(both_empty, 1.0, jnp.where(one_empty, 0.0, regular))
+
+
+def dice_multiclass_macro(
+    pred_idx: jnp.ndarray,
+    target_idx: jnp.ndarray,
+    num_classes: int,
+    ignore_index: int | None = None,
+    include_background: bool = False,
+) -> jnp.ndarray:
+    """Macro-averaged Dice on (H, W) index maps (per-rater multiclass path,
+    ``test_2D.py:901-918`` with ``average="macro"``).
+
+    Per-class Dice 2TP/(P+T) over the included classes; classes with zero
+    support in both pred and target are excluded from the mean; if no class
+    has support the score is 1.0.
+    """
+    if ignore_index is None:
+        valid = jnp.ones_like(target_idx, dtype=jnp.bool_)
+    else:
+        valid = target_idx != ignore_index
+    start = 0 if include_background else 1
+    classes = jnp.arange(start, num_classes)
+    pred_c = (pred_idx[None] == classes[:, None, None]) & valid[None]
+    tgt_c = (target_idx[None] == classes[:, None, None]) & valid[None]
+    tp = jnp.sum(pred_c & tgt_c, axis=(1, 2)).astype(jnp.float32)
+    denom = (jnp.sum(pred_c, axis=(1, 2)) + jnp.sum(tgt_c, axis=(1, 2))).astype(jnp.float32)
+    present = denom > 0
+    per_class = 2.0 * tp / jnp.where(present, denom, 1.0)
+    n_present = jnp.sum(present)
+    mean = jnp.sum(jnp.where(present, per_class, 0.0)) / jnp.where(n_present > 0, n_present, 1)
+    return jnp.where(n_present > 0, mean, 1.0)
+
+
 def soft_dice_loss(
     probs: jnp.ndarray,
     target_idx: jnp.ndarray,

@@ -1,0 +1,144 @@
+"""End-to-end inference tests: train briefly on toy data, run the
+uncertainty-inference pipeline, validate the results tree."""
+
+import json
+
+import numpy as np
+import pytest
+import jax
+from PIL import Image
+
+from diffuncertainty_tpu.core.config import load_config
+from diffuncertainty_tpu.data import BatchLoader, MultiRaterDataset
+from diffuncertainty_tpu.data.toy import generate_toy_dataset
+from diffuncertainty_tpu.infer import InferenceConfig, UncertaintyInference
+from diffuncertainty_tpu.train import Trainer
+
+SMALL_NET = [
+    "network.model_channels=8",
+    "network.num_res_blocks=[1,1]",
+    "network.channel_mult=[1,2]",
+    "network.attention_resolutions=[-1]",
+    "model.diffusion_sampling.num_steps=3",
+    "model.n_aleatoric_samples=3",
+    "trainer.learning_rate=0.003",
+    "trainer.max_epochs=2",
+    "data.batch_size=8",
+]
+
+
+@pytest.fixture(scope="module")
+def toy_dir(tmp_path_factory):
+    return generate_toy_dataset(
+        tmp_path_factory.mktemp("toy"), num_train=16, num_val=4, num_test=6,
+        num_ood=4, size=32, seed=0,
+    )
+
+
+def _train(toy_dir, tmp_path, model="softmax", eu="none", extra=()):
+    cfg = load_config(
+        data="toy64", network="unet4", model=model, eu_method=eu,
+        overrides=SMALL_NET + [
+            f"save_dir={tmp_path}",
+            f"data.data_input_dir={toy_dir}",
+            "data.split_name=default",
+        ] + list(extra),
+    )
+    trainer = Trainer(cfg)
+    splits = toy_dir / "splits" / "default" / "firstCycle" / "splits.pkl"
+    train_ds = MultiRaterDataset(splits, toy_dir, split="train", return_all_raters=False)
+    trainer.fit(BatchLoader(train_ds, 8, shuffle=True, drop_last=True), None)
+    return trainer
+
+
+def test_softmax_dropout_inference_end_to_end(toy_dir, tmp_path):
+    trainer = _train(toy_dir, tmp_path, eu="dropout")
+    ckpt = trainer.workdir / "checkpoints" / "last"
+    icfg = InferenceConfig(n_pred=2, n_models=3, batch_size=4, save_dir=str(tmp_path / "results"))
+    inf = UncertaintyInference([ckpt], icfg)
+    assert inf.built.eu_type == "dropout"
+    assert inf.sampler.meta.n_groups == 3  # 3 dropout members, 1 sample each
+
+    summary = inf.run_split("id")
+    assert summary["n_images"] == 6
+    out_dir = inf.split_dir("id")
+
+    metrics = json.loads((out_dir / "metrics.json").read_text())
+    assert len(metrics) == 6
+    for rec in metrics.values():
+        assert 0.0 <= rec["metrics"]["dice"] <= 1.0
+        assert "ged" in rec["metrics"] and "ged_bma" in rec["metrics"]
+
+    # heatmaps: TU = AU + EU, readable float32 TIFFs
+    image_id = next(iter(metrics))
+    tu = np.asarray(Image.open(out_dir / "TU" / f"{image_id}.tif"))
+    au = np.asarray(Image.open(out_dir / "AU" / f"{image_id}.tif"))
+    eu = np.asarray(Image.open(out_dir / "EU" / f"{image_id}.tif"))
+    assert tu.dtype == np.float32 and tu.shape == (32, 32)
+    np.testing.assert_allclose(tu, au + eu, atol=1e-5)
+    assert tu.min() >= -1e-6
+
+    # predictions: mean + one per group
+    pngs = sorted(p.name for p in (out_dir / "pred_seg").iterdir())
+    assert f"{image_id}_mean.png" in pngs
+    assert f"{image_id}_01.png" in pngs and f"{image_id}_03.png" in pngs
+
+    likelihood = json.loads((out_dir / "likelihood.json").read_text())
+    rec = likelihood[image_id]
+    assert len(rec["gt_model_NLL"]) == 4  # raters
+    assert len(rec["gt_model_NLL"][0]) == 3  # groups
+    assert rec["mean_NLL"] > 0
+
+
+def test_single_forward_softmax_msr_fallback(toy_dir, tmp_path):
+    trainer = _train(toy_dir, tmp_path)
+    ckpt = trainer.workdir / "checkpoints" / "last"
+    icfg = InferenceConfig(n_pred=1, n_models=1, batch_size=4,
+                           save_dir=str(tmp_path / "results"))
+    inf = UncertaintyInference([ckpt], icfg)
+    assert inf.sampler.meta.n_groups == 1
+    inf.run_split("id")
+    out_dir = inf.split_dir("id")
+    # single prediction -> 1-MSR fallback heatmap dir
+    assert (out_dir / "pred_entropy").exists()
+    assert not (out_dir / "TU").exists()
+
+
+def test_deep_ensemble_from_multiple_checkpoints(toy_dir, tmp_path):
+    t1 = _train(toy_dir, tmp_path / "m1", extra=["seed=1"])
+    t2 = _train(toy_dir, tmp_path / "m2", extra=["seed=2"])
+    icfg = InferenceConfig(n_pred=1, batch_size=4, save_dir=str(tmp_path / "results"))
+    inf = UncertaintyInference(
+        [t1.workdir / "checkpoints" / "last", t2.workdir / "checkpoints" / "last"], icfg
+    )
+    assert inf.spec.member_mode == "params_stack" and inf.spec.n_members == 2
+    summary = inf.run_split("ood_noise")
+    assert summary["n_images"] == 4
+
+
+def test_swag_inference(toy_dir, tmp_path):
+    trainer = _train(
+        toy_dir, tmp_path, eu="swag_diag",
+        extra=["eu_method.swag.max_snapshots=2", "trainer.max_epochs=3"],
+    )
+    ckpt = trainer.workdir / "checkpoints" / "last"
+    icfg = InferenceConfig(n_pred=1, n_models=3, batch_size=4,
+                           save_dir=str(tmp_path / "results"))
+    inf = UncertaintyInference([ckpt], icfg)
+    assert inf.spec.member_mode == "params_stack" and inf.spec.n_members == 3
+    summary = inf.run_split("id")
+    assert summary["n_images"] == 6
+    out = json.loads((inf.split_dir("id") / "metrics.json").read_text())
+    assert all(np.isfinite(r["metrics"]["dice"]) for r in out.values())
+
+
+def test_use_ema_and_skip_existing(toy_dir, tmp_path):
+    trainer = _train(toy_dir, tmp_path)
+    ckpt = trainer.workdir / "checkpoints" / "last"
+    icfg = InferenceConfig(n_pred=1, batch_size=4, use_ema=True,
+                           save_dir=str(tmp_path / "results"), skip_existing=True)
+    inf = UncertaintyInference([ckpt], icfg)
+    assert "_ema" in str(inf.split_dir("id"))
+    s1 = inf.run_split("id")
+    s2 = inf.run_split("id")
+    assert not s1.get("skipped") and s2.get("skipped")
