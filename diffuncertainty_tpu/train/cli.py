@@ -1,0 +1,114 @@
+"""Training CLI.
+
+Usage (mirrors the reference's hydra launcher, ``uncertainty_modeling/main.py``):
+
+    python -m diffuncertainty_tpu.train data=lidc64 network=unet16 \
+        model=diffusion eu_method=dropout trainer.max_epochs=320 \
+        data.data_input_dir=/path/to/lidc64
+
+Group selections (``data= network= model= eu_method=``) pick YAML files from
+``diffuncertainty_tpu/configs/<group>/``; every other ``a.b=c`` token is a
+dotted override. Env overrides ``DATASET_LOCATION`` / ``EXPERIMENT_LOCATION``
+relocate data/save dirs (``main.py:95-105``); ``resume_from=<ckpt>`` restores
+full state; ``ckpt_path=<ckpt>`` loads weights only.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from pathlib import Path
+
+import jax
+import numpy as np
+
+from ..core.checkpoint import load_checkpoint
+from ..core.config import ExperimentConfig, apply_overrides, load_config
+from ..data.dataset import MultiRaterDataset
+from ..data.loader import BatchLoader
+from .loop import Trainer, TrainState
+
+
+def parse_args(argv: list[str]) -> tuple[ExperimentConfig, dict]:
+    groups = {"data": "lidc64", "network": "unet16", "model": "softmax", "eu_method": "none"}
+    special: dict = {"resume_from": None, "ckpt_path": None}
+    overrides = []
+    for tok in argv:
+        if "=" not in tok:
+            raise SystemExit(f"Arguments must be key=value, got '{tok}'")
+        key, val = tok.split("=", 1)
+        if key in groups:
+            groups[key] = val
+        elif key in special:
+            special[key] = val
+        else:
+            overrides.append(tok)
+    cfg = load_config(**groups, overrides=overrides)
+
+    # env-var relocation (reference main.py:95-105)
+    if os.environ.get("DATASET_LOCATION"):
+        cfg = apply_overrides(
+            cfg, [f"data.data_input_dir={os.environ['DATASET_LOCATION']}/{cfg.data.name}"]
+        )
+    if os.environ.get("EXPERIMENT_LOCATION"):
+        cfg = apply_overrides(cfg, [f"save_dir={os.environ['EXPERIMENT_LOCATION']}"])
+    return cfg, special
+
+
+def build_loaders(cfg: ExperimentConfig):
+    data_dir = Path(cfg.data.data_input_dir)
+    splits_path = cfg.data.splits_path or (
+        data_dir / "splits" / cfg.data.split_name / "firstCycle" / "splits.pkl"
+    )
+    train_ds = MultiRaterDataset(
+        splits_path, data_dir, split="train",
+        data_fold_id=cfg.data.data_fold_id,
+        return_all_raters=False, single_rater=cfg.data.single_rater,
+    )
+    val_ds = MultiRaterDataset(
+        splits_path, data_dir, split="val",
+        data_fold_id=cfg.data.data_fold_id, return_all_raters=True,
+    )
+    train_loader = BatchLoader(
+        train_ds, cfg.data.batch_size, shuffle=True, seed=cfg.seed, drop_last=True
+    )
+    val_loader = BatchLoader(val_ds, cfg.data.val_batch_size)
+    return train_loader, val_loader
+
+
+def main(argv: list[str] | None = None) -> None:
+    cfg, special = parse_args(argv if argv is not None else sys.argv[1:])
+    np.random.seed(cfg.seed)
+    print(f"Experiment: {cfg.auto_exp_name} (seed {cfg.seed})")
+    trainer = Trainer(cfg)
+    train_loader, val_loader = build_loaders(cfg)
+
+    resume_state = None
+    start_epoch = 0
+    if special["resume_from"]:
+        state_d, _, meta = load_checkpoint(special["resume_from"])
+        import jax.numpy as jnp
+
+        resume_state = TrainState(
+            step=jnp.asarray(state_d["step"]),
+            params=state_d["params"],
+            opt_state=state_d["opt_state"],
+            ema_params=state_d.get("ema_params"),
+        )
+        start_epoch = int(meta["epoch"]) + 1
+        print(f"Resuming from epoch {start_epoch}")
+    elif special["ckpt_path"]:
+        state_d, _, _ = load_checkpoint(special["ckpt_path"])
+        sample = next(iter(val_loader))
+        resume_state = trainer.init_state(jax.random.key(cfg.seed), sample)
+        resume_state = resume_state._replace(
+            params=state_d.get("params", state_d.get("ema_params"))
+        )
+        print("Loaded weights (fresh optimizer state)")
+
+    trainer.fit(train_loader, val_loader, resume_state=resume_state, start_epoch=start_epoch)
+    print(f"Done. Checkpoints at {trainer.workdir / 'checkpoints'}")
+
+
+if __name__ == "__main__":
+    main()
