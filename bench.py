@@ -54,47 +54,57 @@ def main():
     )
     sampler = make_sampler(built, spec)
 
+    # NOTE on timing: on the axon-tunneled TPU, jax.block_until_ready returns
+    # before remote execution finishes; fetching a device-reduced SCALAR is
+    # the only reliable sync, and it also keeps tunnel bandwidth out of the
+    # measurement (we measure device compute, the images/sec/chip quantity).
     @jax.jit
     def fused(params, images, key):
         stack = sampler(params, images, key)
         maps = uncertainty_heatmaps(stack.group_means, sample_axis=0, class_axis=-1)
-        return stack.mean, maps["TU"], maps["AU"], maps["EU"]
+        return (
+            jnp.sum(stack.mean) + jnp.sum(maps["TU"]) + jnp.sum(maps["AU"]) + jnp.sum(maps["EU"])
+        )
 
     # ---- fused timing ----
-    out = fused(params, images, jax.random.key(1))
-    jax.block_until_ready(out)
+    float(fused(params, images, jax.random.key(1)))  # compile + warm
     times = []
     for i in range(TIMED_ITERS):
         t0 = time.perf_counter()
-        out = fused(params, images, jax.random.key(2 + i))
-        jax.block_until_ready(out)
+        float(fused(params, images, jax.random.key(2 + i)))
         times.append(time.perf_counter() - t0)
     fused_p50 = float(np.percentile(times, 50))
     fused_ips = BATCH / fused_p50
 
-    # ---- reference-structured baseline: python loop of single-sample
-    # programs + host-side reduction (the torch pipeline shape) ----
+    # ---- reference-structured baseline: a python loop of N independent
+    # single-sample programs (the torch pipeline shape: one forward per
+    # sample per batch, test_2D.py:1121-1280). Conservative in our favor:
+    # the reduction stays on device instead of the reference's host-side
+    # stacking, so the loop penalty measured is purely program-structure. ----
     single_spec = SamplerSpec(n_pred=1, n_members=1, member_mode="dropout",
                               tta=True, tta_config=tta_cfg)
     single = make_sampler(built, single_spec)
 
     @jax.jit
-    def one_sample(params, images, key):
-        return single(params, images, key).mean
+    def one_sample_acc(params, images, key, acc):
+        return acc + single(params, images, key).mean
 
-    jax.block_until_ready(one_sample(params, images, jax.random.key(0)))
+    @jax.jit
+    def finish(acc):
+        mean = acc / N_SAMPLES
+        tu = -jnp.sum(jnp.where(mean > 0, mean * jnp.log(mean), 0.0), axis=-1)
+        return jnp.sum(mean) + jnp.sum(tu)
+
+    acc0 = jnp.zeros((BATCH, HW, HW, built.num_classes))
+    float(finish(one_sample_acc(params, images, jax.random.key(0), acc0)))  # warm
 
     def looped(key):
-        outs = []
+        acc = acc0
         for i in range(N_SAMPLES):
-            outs.append(np.asarray(one_sample(params, images, jax.random.fold_in(key, i))))
-        stack = np.stack(outs)  # host-side, like the reference
-        mean = stack.mean(0)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            tu = -np.nansum(mean * np.log(mean), axis=-1)
-        return mean, tu
+            acc = one_sample_acc(params, images, jax.random.fold_in(key, i), acc)
+        return float(finish(acc))
 
-    looped(jax.random.key(1))  # warm
+    looped(jax.random.key(1))  # warm path
     times_ref = []
     for i in range(max(3, TIMED_ITERS // 2)):
         t0 = time.perf_counter()
@@ -110,7 +120,7 @@ def main():
         "vs_baseline": round(fused_ips / ref_ips, 2),
         "p50_latency_ms": round(fused_p50 * 1000, 2),
         "baseline_images_per_sec": round(ref_ips, 2),
-        "baseline_def": "same workload as a python loop of single-sample programs with host-side reduction (reference pipeline structure) on the same device",
+        "baseline_def": "same workload as a python loop of N independent single-sample programs (reference pipeline structure) on the same device, with device-side accumulation (conservative)",
         "device": str(jax.devices()[0]),
         "batch": BATCH,
         "n_samples": N_SAMPLES,

@@ -16,15 +16,17 @@ from ..core.config import ExperimentConfig
 from .unet import DiffUnet, DropoutSpec
 from .prob_unet import ProbUnet, ProbUnetSpec, build_prob_unet
 from .diffusion import ContinuousGaussianDiffusion
+from .hrnet import HRNet, HRNetSpec
 
 
 @dataclasses.dataclass
 class BuiltModel:
-    module: object  # DiffUnet | ProbUnet
+    module: object  # DiffUnet | ProbUnet | HRNet
     au_type: str  # softmax | ssn | diffusion | prob_unet
     eu_type: str  # none | dropout | swag | swag_diag | ensemble | subensemble
     is_generative: bool
     num_classes: int
+    backbone: str = "diff_unet"  # diff_unet | hrnet
     diffusion: ContinuousGaussianDiffusion | None = None
     diffusion_num_steps: int = 10
     diffusion_sampler_type: str = "ddpm"
@@ -34,6 +36,10 @@ class BuiltModel:
     @property
     def needs_dropout_rng(self) -> bool:
         return self.dropout_spec.max_rate > 0.0
+
+    @property
+    def has_batch_stats(self) -> bool:
+        return self.backbone == "hrnet"
 
 
 def _infer_eu_type(cfg: ExperimentConfig, dropout_spec: DropoutSpec) -> str:
@@ -61,9 +67,35 @@ def build_model(cfg: ExperimentConfig) -> BuiltModel:
     au_type = model_cfg.au_type
     if au_type not in ("softmax", "ssn", "diffusion", "prob_unet"):
         raise ValueError(f"Unknown AU type '{au_type}'")
-    if net.backbone != "diff_unet":
-        raise NotImplementedError(
-            f"backbone '{net.backbone}' not wired into the factory yet"
+
+    if net.backbone == "hrnet":
+        # reference guard: hrnet supports softmax/ssn only (hrnet :830-835)
+        if au_type in ("diffusion", "prob_unet"):
+            raise ValueError(f"HRNet does not support AU type '{au_type}'")
+        if cfg.eu_method.name == "dropout":
+            dropout_spec = cfg.eu_method.dropout
+        else:
+            dropout_spec = DropoutSpec.from_config(None, default_rate=net.dropout)
+        spec = HRNetSpec(
+            width=net.hrnet_width,
+            stage1_channels=32 if net.hrnet_width <= 24 else 64,
+            final_dropout=dropout_spec.max_rate,
+        )
+        module = HRNet(
+            num_classes=net.out_channels,
+            spec=spec,
+            ssn=au_type == "ssn",
+            ssn_rank=model_cfg.ssn_rank,
+            ssn_eps=model_cfg.ssn_eps,
+        )
+        return BuiltModel(
+            module=module,
+            au_type=au_type,
+            eu_type=_infer_eu_type(cfg, dropout_spec),
+            is_generative=au_type != "softmax",
+            num_classes=net.out_channels,
+            backbone="hrnet",
+            dropout_spec=dropout_spec,
         )
 
     is_diffusion = au_type == "diffusion"

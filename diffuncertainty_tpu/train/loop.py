@@ -42,9 +42,10 @@ from .losses import make_loss_fn
 
 class TrainState(NamedTuple):
     step: jnp.ndarray
-    params: Any
+    params: Any  # {"params": ...}
     opt_state: Any
     ema_params: Any  # None when EMA disabled
+    model_state: Any = None  # {"batch_stats": ...} for BN backbones, else {}
 
 
 class Trainer:
@@ -94,14 +95,18 @@ class Trainer:
             rngs["dropout"] = jax.random.fold_in(rng, 1)
         if built.au_type == "diffusion":
             x = jnp.zeros(img.shape[:-1] + (built.module.in_channels,), img.dtype)
-            params = built.module.init(rngs, x, jnp.zeros((1,)))
+            variables = built.module.init(rngs, x, jnp.zeros((1,)))
         elif built.au_type == "prob_unet":
             segm = jnp.zeros(img.shape[:-1] + (built.num_classes,), img.dtype)
-            params = built.module.init(
+            variables = built.module.init(
                 rngs, img, segm, built.module.init_input_latent(1)
             )
+        elif built.has_batch_stats:
+            variables = built.module.init(rngs, img, True)
         else:
-            params = built.module.init(rngs, img)
+            variables = built.module.init(rngs, img)
+        params = {"params": variables["params"]}
+        model_state = {k: v for k, v in variables.items() if k != "params"}
         opt_state = self.tx.init(params)
         ema = jax.tree.map(jnp.copy, params) if self.track_ema else None
         if self.swag_enabled:
@@ -109,7 +114,7 @@ class Trainer:
                 params, self.cfg.eu_method.swag.max_snapshots,
                 diag_only=self.cfg.eu_method.swag.diag_only,
             )
-        state = TrainState(jnp.zeros((), jnp.int32), params, opt_state, ema)
+        state = TrainState(jnp.zeros((), jnp.int32), params, opt_state, ema, model_state)
         if self.mesh is not None:
             state = replicate(state, self.mesh)
         return state
@@ -128,7 +133,7 @@ class Trainer:
 
         def step(state: TrainState, batch, rng, sched):
             (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                state.params, batch, rng, sched
+                state.params, batch, rng, sched, state.model_state
             )
             updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
             params = optax.apply_updates(state.params, updates)
@@ -140,8 +145,9 @@ class Trainer:
             else:
                 ema = state.ema_params
             aux = dict(aux)
+            model_state = aux.pop("model_state", state.model_state)
             aux["grad_norm"] = optax.global_norm(grads)
-            return TrainState(state.step + 1, params, opt_state, ema), aux
+            return TrainState(state.step + 1, params, opt_state, ema, model_state), aux
 
         return jax.jit(step, donate_argnums=(0,))
 
@@ -207,7 +213,8 @@ class Trainer:
         return x0
 
     def evaluate(self, state: TrainState, val_loader, *, epoch: int, use_ema: bool = False) -> dict:
-        params = state.ema_params if (use_ema and self.track_ema) else state.params
+        base = state.ema_params if (use_ema and self.track_ema) else state.params
+        params = {**base, **(state.model_state or {})}
         loss_fn = make_loss_fn(
             self.built,
             ignore_index=self.cfg.data.ignore_index,
@@ -223,7 +230,9 @@ class Trainer:
             rng, k1, k2 = jax.random.split(rng, 3)
             jbatch = {"image": jnp.asarray(batch["image"]), "seg": jnp.asarray(batch["seg"])}
             sched = self._sched_for_epoch(epoch)
-            loss, _ = loss_j(params, jbatch, k1, sched)
+            loss, _ = loss_j(
+                {"params": params["params"]}, jbatch, k1, sched, state.model_state
+            )
             probs = pred_j(params, jbatch["image"], k2)
             pred_idx = jnp.argmax(probs, axis=-1)
             seg = jbatch["seg"]
@@ -308,13 +317,16 @@ class Trainer:
         return self.workdir / "checkpoints"
 
     def _full_state_dict(self, state: TrainState) -> dict:
+        ms = state.model_state or {}
         d = {
-            "params": state.params,
+            # merge non-param collections (batch_stats) so checkpoints stay
+            # drop-in variable dicts for module.apply at inference time
+            "params": {**state.params, **ms},
             "opt_state": state.opt_state,
             "step": state.step,
         }
         if state.ema_params is not None:
-            d["ema_params"] = state.ema_params
+            d["ema_params"] = {**state.ema_params, **ms}
         if self.swag_state is not None:
             d["swag_state"] = {
                 "n_models": self.swag_state.n_models,
@@ -331,13 +343,14 @@ class Trainer:
         )
 
     def _save_scheduled(self, state: TrainState, epoch: int) -> None:
+        ms = state.model_state or {}
         if self.cfg.ema.only_save_ema and state.ema_params is not None:
-            payload = {"ema_params": state.ema_params}
+            payload = {"ema_params": {**state.ema_params, **ms}}
             kind = "ema_only"
         else:
-            payload = {"params": state.params}
+            payload = {"params": {**state.params, **ms}}
             if state.ema_params is not None:
-                payload["ema_params"] = state.ema_params
+                payload["ema_params"] = {**state.ema_params, **ms}
             kind = "weights"
         save_checkpoint(
             self._ckpt_dir() / f"epoch_{epoch:06d}", payload, self.cfg,

@@ -73,28 +73,47 @@ def make_loss_fn(
     use_ignore = ignore_index != 0
     ce_ignore = ignore_index if use_ignore else None
 
+    is_hrnet = built.backbone == "hrnet"
+
     def _apply(params, *args, rng=None, **kw):
         rngs = {"dropout": rng} if (built.needs_dropout_rng and rng is not None) else None
         return module.apply(params, *args, rngs=rngs, **kw)
 
+    def _apply_train(params, model_state, x, rng=None, **kw):
+        """Forward in train mode; returns (out, updated_model_state)."""
+        rngs = {"dropout": rng} if (built.needs_dropout_rng and rng is not None) else None
+        if is_hrnet:
+            out, updated = module.apply(
+                {**params, **(model_state or {})}, x, True,
+                rngs=rngs, mutable=["batch_stats"], **kw,
+            )
+            return out, dict(updated)
+        return module.apply(params, x, rngs=rngs, **kw), None
+
     if au == "softmax":
 
-        def loss_fn(params, batch, rng, sched):
-            logits = _apply(params, batch["image"], rng=rng).logits
+        def loss_fn(params, batch, rng, sched, model_state=None):
+            out, new_ms = _apply_train(params, model_state, batch["image"], rng=rng)
+            logits = out.logits
             target = _select_random_rater(batch["seg"], jax.random.fold_in(rng, 1))
             if use_ignore:
                 loss = _masked_ce(logits, target, ce_ignore)
             else:
                 probs = jax.nn.softmax(logits, axis=-1)
                 loss = soft_dice_loss(probs, target) + _masked_ce(logits, target, None)
-            return loss, {"loss": loss}
+            aux = {"loss": loss}
+            if new_ms is not None:
+                aux["model_state"] = new_ms
+            return loss, aux
 
     elif au == "ssn":
 
-        def loss_fn(params, batch, rng, sched):
+        def loss_fn(params, batch, rng, sched, model_state=None):
             k_drop, k_rater, k_sample = jax.random.split(rng, 3)
             target = _select_random_rater(batch["seg"], k_rater)
-            out = _apply(params, batch["image"], rng=k_drop, mean_only=ssn_mean_only)
+            out, new_ms = _apply_train(
+                params, model_state, batch["image"], rng=k_drop, mean_only=ssn_mean_only
+            )
             dist = ssn_lib.build_distribution(
                 out.ssn_mean, out.ssn_cov_diag, out.ssn_cov_factor
             )
@@ -116,11 +135,14 @@ def make_loss_fn(
                 jax.scipy.special.logsumexp(per_sample_logprob, axis=0) - jnp.log(s)
             )
             loss = -loglik
-            return loss, {"loss": loss, "cov_failed": jnp.mean(dist.cov_failed.astype(jnp.float32))}
+            aux = {"loss": loss, "cov_failed": jnp.mean(dist.cov_failed.astype(jnp.float32))}
+            if new_ms is not None:
+                aux["model_state"] = new_ms
+            return loss, aux
 
     elif au == "diffusion":
 
-        def loss_fn(params, batch, rng, sched):
+        def loss_fn(params, batch, rng, sched, model_state=None):
             k_drop, k_rater, k_diff = jax.random.split(rng, 3)
             target = _select_random_rater(batch["seg"], k_rater)
             if use_ignore:
@@ -146,7 +168,7 @@ def make_loss_fn(
     elif au == "prob_unet":
         spec = built.prob_unet_spec
 
-        def loss_fn(params, batch, rng, sched):
+        def loss_fn(params, batch, rng, sched, model_state=None):
             k_drop, k_rater, k_z = jax.random.split(rng, 3)
             target = _select_random_rater(batch["seg"], k_rater)
             if use_ignore:
