@@ -1,0 +1,146 @@
+"""Result tables and barplots (L7 reporting).
+
+Reference: ``evaluation/visualization/ds_task_table.py:14-533`` (multi-index
+pandas table over task x metric x pred_model x unc_type x aggregation,
+grouped across seeds, color-coded LaTeX) and ``ds_task_barplots.py:14-300``.
+
+Here a "version" is one evaluated results split dir; ``collect_results``
+walks the task JSONs each version produced and builds the tidy DataFrame the
+table/plot functions consume.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+
+_TASK_FILES = {
+    "failure_detection": "failure_detection.json",
+    "ood_detection": "ood_detection.json",
+    "calibration": "calibration.json",
+    "ambiguity_modeling": "ambiguity_modeling.json",
+}
+
+
+def _flatten_task(task: str, payload: dict) -> list[dict]:
+    rows = []
+    if task == "ood_detection":
+        for dataset_key, body in payload.items():
+            for unc, aggs in body.get("mean", {}).items():
+                for agg, rec in aggs.items():
+                    for metric, value in rec["metrics"].items():
+                        rows.append(dict(task=task, unc_type=unc, aggregation=agg,
+                                         metric=metric, value=value, dataset=dataset_key))
+    elif task == "calibration" or task == "ambiguity_modeling":
+        for unc, rec in payload.get("mean", {}).items():
+            for metric, value in rec["metrics"].items():
+                rows.append(dict(task=task, unc_type=unc, aggregation="-",
+                                 metric=metric, value=value, dataset="-"))
+    elif task == "failure_detection":
+        for unc, aggs in payload.get("mean", {}).items():
+            for agg, rec in aggs.items():
+                for metric, value in rec["metrics"].items():
+                    rows.append(dict(task=task, unc_type=unc, aggregation=agg,
+                                     metric=metric, value=value, dataset="-"))
+    return rows
+
+
+def collect_results(
+    versions: dict[str, str | Path],
+    *,
+    include_segmentation: bool = True,
+) -> pd.DataFrame:
+    """{version_name: split_dir} -> tidy DataFrame of all task metrics."""
+    rows = []
+    for version, split_dir in versions.items():
+        split_dir = Path(split_dir)
+        for task, fname in _TASK_FILES.items():
+            path = split_dir / fname
+            if not path.exists():
+                continue
+            for row in _flatten_task(task, json.loads(path.read_text())):
+                row["version"] = version
+                rows.append(row)
+        if include_segmentation and (split_dir / "metrics.json").exists():
+            metrics = json.loads((split_dir / "metrics.json").read_text())
+            per_metric: dict[str, list[float]] = {}
+            for rec in metrics.values():
+                for metric, value in rec.get("metrics", {}).items():
+                    per_metric.setdefault(metric, []).append(value)
+            for metric, values in per_metric.items():
+                rows.append(dict(task="segmentation", unc_type="-", aggregation="-",
+                                 metric=metric, value=float(np.mean(values)),
+                                 dataset="-", version=version))
+    return pd.DataFrame(rows)
+
+
+def task_table(
+    df: pd.DataFrame,
+    *,
+    group_seeds: bool = True,
+) -> pd.DataFrame:
+    """Pivot to (task, metric, unc_type, aggregation) x version mean±std.
+
+    With ``group_seeds``, versions named ``name_s{seed}`` collapse into
+    ``name`` with mean and std columns (the reference's seed grouping).
+    """
+    df = df.copy()
+    if group_seeds:
+        df["group"] = df["version"].str.replace(r"_s\d+$", "", regex=True)
+    else:
+        df["group"] = df["version"]
+    pivot = df.pivot_table(
+        index=["task", "metric", "unc_type", "aggregation"],
+        columns="group", values="value", aggfunc=["mean", "std"],
+    )
+    return pivot
+
+
+def to_latex(table: pd.DataFrame, *, highlight_best: bool = True, precision: int = 4) -> str:
+    """Compact LaTeX with the best mean per row bolded."""
+    means = table["mean"] if "mean" in table.columns.get_level_values(0) else table
+    lines = [r"\begin{tabular}{l" + "c" * len(means.columns) + "}", r"\toprule"]
+    lines.append(" & ".join(["metric"] + [str(c) for c in means.columns]) + r" \\")
+    lines.append(r"\midrule")
+    for idx, row in means.iterrows():
+        label = "/".join(str(x) for x in idx if x != "-")
+        vals = row.values.astype(float)
+        finite = np.isfinite(vals)
+        best = np.nanargmax(vals) if finite.any() and highlight_best else -1
+        cells = []
+        for i, v in enumerate(vals):
+            text = f"{v:.{precision}f}" if np.isfinite(v) else "-"
+            cells.append(rf"\textbf{{{text}}}" if i == best else text)
+        lines.append(" & ".join([label] + cells) + r" \\")
+    lines += [r"\bottomrule", r"\end{tabular}"]
+    return "\n".join(lines)
+
+
+def barplot(
+    df: pd.DataFrame,
+    *,
+    metric: str,
+    task: str,
+    out_path: str | Path,
+    by: str = "unc_type",
+):
+    """Bar plot of one (task, metric) grouped along ``by`` x version."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    sel = df[(df["task"] == task) & (df["metric"] == metric)]
+    if sel.empty:
+        raise ValueError(f"no rows for task={task} metric={metric}")
+    pivot = sel.pivot_table(index=by, columns="version", values="value", aggfunc="mean")
+    ax = pivot.plot.bar(figsize=(1.5 + 1.2 * len(pivot), 4), rot=0)
+    ax.set_ylabel(metric)
+    ax.set_title(f"{task}: {metric}")
+    ax.figure.tight_layout()
+    ax.figure.savefig(out_path, dpi=120)
+    plt.close(ax.figure)
+    return Path(out_path)

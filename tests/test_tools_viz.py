@@ -1,0 +1,132 @@
+"""Tests for tools (completeness checks), visualization, sliding window."""
+
+import json
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from PIL import Image
+
+from diffuncertainty_tpu.evaln.visualization import (
+    barplot,
+    collect_results,
+    task_table,
+    to_latex,
+)
+from diffuncertainty_tpu.infer.sliding_window import sliding_window_predict
+from diffuncertainty_tpu.tools.checks import (
+    backfill_tu,
+    check_eval_matrix,
+    check_test_finished,
+    keep_largest_epoch_checkpoint,
+    merge_metric_logs,
+)
+
+
+def _fake_split_dir(tmp_path, name="split", ids=("a", "b"), heatmaps=("TU", "AU", "EU")):
+    d = tmp_path / name
+    (d / "pred_seg").mkdir(parents=True)
+    metrics = {}
+    for i in ids:
+        Image.fromarray(np.zeros((4, 4), np.uint8)).save(d / "pred_seg" / f"{i}_01.png")
+        metrics[i] = {"dataset": "toy", "metrics": {"dice": 0.8, "ged": 0.1}}
+        for u in heatmaps:
+            (d / u).mkdir(exist_ok=True)
+            Image.fromarray(np.ones((4, 4), np.float32) * 0.5, mode="F").save(d / u / f"{i}.tif")
+    (d / "metrics.json").write_text(json.dumps(metrics))
+    (d / "failure_detection.json").write_text(json.dumps(
+        {"mean": {"TU": {"image_level": {"metrics": {"aurc": 0.2, "eaurc": 0.1}}}}}
+    ))
+    return d
+
+
+def test_check_test_finished(tmp_path):
+    d = _fake_split_dir(tmp_path)
+    assert check_test_finished(d)["status"] == "finished"
+    (d / "TU" / "a.tif").unlink()
+    res = check_test_finished(d)
+    assert res["status"] == "partial" and any("TU" in p for p in res["problems"])
+    assert check_test_finished(tmp_path / "nope")["status"] == "missing"
+
+
+def test_check_eval_matrix(tmp_path):
+    d = _fake_split_dir(tmp_path)
+    m = check_eval_matrix({"v0": d})
+    assert m["v0"]["failure_detection"] == "done"
+    assert m["v0"]["calibration"] == "missing"
+
+
+def test_keep_largest_epoch(tmp_path):
+    root = tmp_path / "ckpts"
+    for e in (2, 4, 8):
+        (root / f"epoch_{e:06d}").mkdir(parents=True)
+    (root / "last").mkdir()
+    removed = keep_largest_epoch_checkpoint(root)
+    assert len(removed) == 2
+    left = sorted(p.name for p in root.iterdir())
+    assert left == ["epoch_000008", "last"]
+
+
+def test_backfill_tu(tmp_path):
+    d = _fake_split_dir(tmp_path, heatmaps=("AU", "EU"))
+    n = backfill_tu(d)
+    assert n == 2
+    tu = np.asarray(Image.open(d / "TU" / "a.tif"))
+    np.testing.assert_allclose(tu, 1.0)  # 0.5 + 0.5
+
+
+def test_merge_metric_logs(tmp_path):
+    w1 = tmp_path / "run1"
+    w2 = tmp_path / "run2"
+    w1.mkdir(); w2.mkdir()
+    (w1 / "metrics.jsonl").write_text(
+        '{"epoch": 0, "train_loss": 1.0}\n{"epoch": 1, "train_loss": 0.9}\n'
+    )
+    (w2 / "metrics.jsonl").write_text(
+        '{"epoch": 1, "train_loss": 0.85}\n{"epoch": 2, "train_loss": 0.8}\n'
+    )
+    n = merge_metric_logs([w1, w2], tmp_path / "merged.jsonl")
+    assert n == 3
+    recs = [json.loads(l) for l in (tmp_path / "merged.jsonl").read_text().splitlines()]
+    assert [r["epoch"] for r in recs] == [0, 1, 2]
+    assert recs[1]["train_loss"] == 0.85  # resumed run wins
+
+
+def test_collect_results_and_table(tmp_path):
+    d1 = _fake_split_dir(tmp_path, "v_s1")
+    d2 = _fake_split_dir(tmp_path, "v_s2")
+    df = collect_results({"v_s1": d1, "v_s2": d2})
+    assert {"failure_detection", "segmentation"} <= set(df["task"])
+    table = task_table(df, group_seeds=True)
+    assert ("mean", "v") in table.columns
+    latex = to_latex(table)
+    assert r"\begin{tabular}" in latex and "aurc" in latex
+
+    out = barplot(df, metric="aurc", task="failure_detection", out_path=tmp_path / "bar.png")
+    assert out.exists()
+
+
+def test_sliding_window_identity_for_full_window():
+    x = jnp.asarray(np.random.default_rng(0).random((2, 16, 16, 3)), jnp.float32)
+    fn = lambda t: t * 2.0
+    out = sliding_window_predict(fn, x, window=16)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x) * 2, atol=1e-6)
+
+
+def test_sliding_window_constant_field_exact():
+    x = jnp.ones((1, 20, 20, 1))
+    fn = lambda t: t * 3.0
+    out = sliding_window_predict(fn, x, window=8, stride=4)
+    np.testing.assert_allclose(np.asarray(out), 3.0, atol=1e-5)
+
+
+def test_sliding_window_jits_and_matches_pointwise_model():
+    x = jnp.asarray(np.random.default_rng(1).random((1, 24, 24, 2)), jnp.float32)
+    fn = lambda t: jnp.tanh(t)  # pointwise -> stitching must be exact
+
+    @jax.jit
+    def run(x):
+        return sliding_window_predict(fn, x, window=8, stride=5)
+
+    np.testing.assert_allclose(np.asarray(run(x)), np.tanh(np.asarray(x)), atol=1e-5)
