@@ -1,0 +1,43 @@
+"""Pallas kernel correctness (interpreter mode on CPU)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from diffuncertainty_tpu.ops.norm import group_norm_32
+from diffuncertainty_tpu.ops.pallas_groupnorm import fused_group_norm_act
+
+
+@pytest.mark.parametrize("channels", [32, 48, 64])
+@pytest.mark.parametrize("act", ["silu", "relu", "none"])
+def test_fused_groupnorm_matches_xla(rng, channels, act):
+    x = jnp.asarray(rng.standard_normal((2, 6, 6, channels)), jnp.float32)
+    s = jnp.asarray(rng.standard_normal(channels), jnp.float32)
+    b = jnp.asarray(rng.standard_normal(channels), jnp.float32)
+    got = fused_group_norm_act(x, s, b, act=act, interpret=True)
+    ref = group_norm_32(x, s, b)
+    if act == "silu":
+        ref = jax.nn.silu(ref)
+    elif act == "relu":
+        ref = jax.nn.relu(ref)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-6)
+
+
+def test_fused_groupnorm_token_layout(rng):
+    """(B, T, C) token-major input (attention norm)."""
+    x = jnp.asarray(rng.standard_normal((3, 49, 32)), jnp.float32)
+    s = jnp.ones(32)
+    b = jnp.zeros(32)
+    got = fused_group_norm_act(x, s, b, act="none", interpret=True)
+    ref = group_norm_32(x, s, b)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-6)
+
+
+def test_xla_fallback_path(rng):
+    x = jnp.asarray(rng.standard_normal((1, 4, 4, 32)), jnp.float32)
+    s = jnp.ones(32)
+    b = jnp.zeros(32)
+    got = fused_group_norm_act(x, s, b, act="silu", use_pallas=False)
+    ref = jax.nn.silu(group_norm_32(x, s, b))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
