@@ -144,3 +144,53 @@ def barplot(
     ax.figure.savefig(out_path, dpi=120)
     plt.close(ax.figure)
     return Path(out_path)
+
+
+def plot_prediction_grid(
+    raw: dict,
+    out_path: str | Path,
+    *,
+    max_samples: int = 6,
+    heatmap: str = "TU",
+):
+    """Qualitative grid: image | raters | per-group samples | mean | heatmap.
+
+    Consumes ``UncertaintyInference.collect_raw_predictions`` output — the
+    reference's ``visualization/helpers.py`` ``plot_pred_grid`` equivalent.
+    """
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from ..ops.entropy import uncertainty_heatmaps
+    import jax.numpy as jnp
+
+    records = raw["records"]
+    n_rows = len(records)
+    sample_cols = min(max_samples, records[0]["groups"].shape[0])
+    n_cols = 3 + sample_cols + 1  # image, gt-mean, samples..., mean, heatmap
+    fig, axes = plt.subplots(n_rows, n_cols, figsize=(2.2 * n_cols, 2.2 * n_rows))
+    axes = np.atleast_2d(axes)
+    for r, rec in enumerate(records):
+        img = rec["image"]
+        axes[r, 0].imshow(img if img.ndim == 2 else img[..., 0], cmap="gray")
+        axes[r, 0].set_ylabel(str(rec["image_id"]), fontsize=7)
+        axes[r, 1].imshow(rec["gt"].mean(axis=0), vmin=0, vmax=rec["gt"].max() or 1)
+        for c in range(sample_cols):
+            axes[r, 2 + c].imshow(np.argmax(rec["groups"][c, 0], axis=-1))
+        axes[r, 2 + sample_cols].imshow(np.argmax(rec["mean"], axis=-1))
+        group_means = rec["groups"].mean(axis=1)  # (G,H,W,C)
+        maps = uncertainty_heatmaps(jnp.asarray(group_means), sample_axis=0, class_axis=-1)
+        key = heatmap if heatmap in maps else list(maps)[0]
+        axes[r, 3 + sample_cols].imshow(np.asarray(maps[key]), cmap="viridis")
+        for ax in axes[r]:
+            ax.set_xticks([]), ax.set_yticks([])
+    titles = (["image", "raters"] + [f"s{c + 1}" for c in range(sample_cols)]
+              + ["mean", heatmap])
+    for c, t in enumerate(titles):
+        axes[0, c].set_title(t, fontsize=8)
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=120)
+    plt.close(fig)
+    return Path(out_path)

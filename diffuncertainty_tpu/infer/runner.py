@@ -245,3 +245,51 @@ class UncertaintyInference:
 
     def run(self, splits: Sequence[str]) -> list[dict]:
         return [self.run_split(s) for s in splits]
+
+    # ---- raw prediction access (notebooks / visualization) ----------------
+
+    def collect_raw_predictions(
+        self,
+        split: str,
+        *,
+        num_images: int | None = None,
+        prefer_nonempty: bool = True,
+        seed: int | None = None,
+    ) -> dict:
+        """Unreduced prediction stacks for a (sampled) subset of a split.
+
+        Reference ``test_2D.py:1299-1430``: seeded random image selection
+        with resampling toward images whose raters have the largest label
+        area; returns host arrays {image_id, image, gt, groups, mean}.
+        """
+        ds = self._dataset(split)
+        rng = np.random.default_rng(self.icfg.seed if seed is None else seed)
+        idxs = np.arange(len(ds))
+        if num_images is not None and num_images < len(ds):
+            if prefer_nonempty:
+                areas = np.array([
+                    float(np.sum(ds.load(int(i))["seg"])) for i in idxs
+                ])
+                order = np.argsort(areas)[::-1]
+                pool = order[: max(num_images * 3, num_images)]
+                idxs = rng.choice(pool, size=num_images, replace=False)
+            else:
+                idxs = rng.choice(idxs, size=num_images, replace=False)
+        records = []
+        key = jax.random.key(self.icfg.seed)
+        for i in idxs:
+            sample = ds.load(int(i))
+            key, sub = jax.random.split(key)
+            images = normalize_batch(
+                jnp.asarray(sample["image"][None]), self.aug_cfg
+            )
+            stack = self._jit_sampler(self.params, images, sub)
+            records.append({
+                "image_id": sample["image_id"],
+                "image": np.asarray(sample["image"]),
+                "gt": np.asarray(sample["seg"]),
+                "groups": np.asarray(stack.groups[:, :, 0]),  # (G,S,H,W,C)
+                "mean": np.asarray(stack.mean[0]),
+            })
+        return {"split": split, "records": records,
+                "group_is_generative": self.sampler.meta.group_is_generative}

@@ -130,3 +130,37 @@ def test_sliding_window_jits_and_matches_pointwise_model():
         return sliding_window_predict(fn, x, window=8, stride=5)
 
     np.testing.assert_allclose(np.asarray(run(x)), np.tanh(np.asarray(x)), atol=1e-5)
+
+
+def test_raw_predictions_and_grid(tmp_path):
+    from diffuncertainty_tpu.core.config import load_config
+    from diffuncertainty_tpu.data import BatchLoader, MultiRaterDataset
+    from diffuncertainty_tpu.data.toy import generate_toy_dataset
+    from diffuncertainty_tpu.evaln.visualization import plot_prediction_grid
+    from diffuncertainty_tpu.infer import InferenceConfig, UncertaintyInference
+    from diffuncertainty_tpu.train import Trainer
+
+    toy = generate_toy_dataset(tmp_path / "toy", num_train=8, num_val=2, num_test=4,
+                               num_ood=2, size=32, seed=0)
+    cfg = load_config(
+        data="toy64", network="unet4", model="softmax", eu_method="dropout",
+        overrides=["network.model_channels=8", "network.num_res_blocks=[1,1]",
+                   "network.channel_mult=[1,2]", "network.attention_resolutions=[-1]",
+                   f"save_dir={tmp_path}", f"data.data_input_dir={toy}",
+                   "data.split_name=default", "trainer.max_epochs=1",
+                   "data.batch_size=4"],
+    )
+    trainer = Trainer(cfg)
+    splits = toy / "splits" / "default" / "firstCycle" / "splits.pkl"
+    train_ds = MultiRaterDataset(splits, toy, split="train", return_all_raters=False)
+    trainer.fit(BatchLoader(train_ds, 4, shuffle=True, drop_last=True), None)
+    inf = UncertaintyInference(
+        [trainer.workdir / "checkpoints" / "last"],
+        InferenceConfig(n_pred=1, n_models=3, batch_size=2, save_dir=str(tmp_path / "r")),
+    )
+    raw = inf.collect_raw_predictions("id", num_images=2)
+    assert len(raw["records"]) == 2
+    rec = raw["records"][0]
+    assert rec["groups"].shape[0] == 3 and rec["mean"].shape == (32, 32, 2)
+    out = plot_prediction_grid(raw, tmp_path / "grid.png")
+    assert out.exists()
