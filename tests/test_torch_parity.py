@@ -194,3 +194,60 @@ def test_unmapped_keys_raise(ref_module):
     params = flax_model.init(jax.random.key(0), jnp.ones((1, 16, 16, 3)))
     with pytest.raises(KeyError, match="Unmapped"):
         import_torch_state_dict(flax_model, params, state)
+
+
+def test_reference_checkpoint_conversion(ref_module, tmp_path):
+    """Lightning-style .ckpt -> our orbax checkpoint -> inference forward."""
+    import torch
+
+    from diffuncertainty_tpu.core.checkpoint import load_checkpoint
+    from diffuncertainty_tpu.models.factory import build_model
+    from diffuncertainty_tpu.tools.import_reference_checkpoint import convert
+
+    cfg = CONFIGS["attention"]
+    torch_model = ref_module.DiffUnet(**cfg).eval()
+    _randomize_torch(torch_model, seed=11)
+    state_dict = {f"model.{k}": v for k, v in torch_model.state_dict().items()}
+    # EMA copy with slightly different weights
+    with torch.no_grad():
+        ema_state = {
+            f"ema_model.module.{k}": v * 1.01 for k, v in torch_model.state_dict().items()
+        }
+    state_dict.update(ema_state)
+    payload = {
+        "state_dict": state_dict,
+        "epoch": 7,
+        "hyper_parameters": {
+            "model": {"cfg": {"MODEL": {
+                "IN_CHANNELS": 3, "OUT_CHANNELS": 2, "MODEL_CHANNELS": 8,
+                "NUM_RES_BLOCKS": [1, 2], "NUM_MIDDLE_RES_BLOCKS": 2,
+                "CHANNEL_MULT": [1, 2], "ATTENTION_RESOLUTIONS": [-1],
+            }}},
+            "data": {"name": "lidc64", "num_classes": 2, "ignore_index": -1},
+        },
+    }
+    ckpt_file = tmp_path / "ref.ckpt"
+    torch.save(payload, ckpt_file)
+
+    out = convert(ckpt_file, tmp_path / "imported")
+    state, loaded_cfg, meta = load_checkpoint(out)
+    assert meta["epoch"] == 7
+    assert loaded_cfg.network.model_channels == 8
+    assert "ema_params" in state
+
+    # forward parity through the converted checkpoint
+    built = build_model(loaded_cfg)
+    # num_heads default differs (cfg uses 2; translate keeps default 4) ->
+    # heads don't change params, only the split; match reference by using
+    # the same heads as the torch model for the comparison
+    import dataclasses as _dc
+
+    flax_model = _dc.replace(built.module, num_heads=cfg["num_heads"])
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((1, 16, 16, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref_out = torch_model(torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))).numpy()
+    got = flax_model.apply(state["params"], jnp.asarray(x)).logits
+    np.testing.assert_allclose(
+        np.transpose(np.asarray(got), (0, 3, 1, 2)), ref_out, atol=1e-5, rtol=1e-4
+    )
