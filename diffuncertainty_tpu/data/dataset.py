@@ -83,18 +83,8 @@ class MultiRaterDataset:
             raise ValueError(f"fold {data_fold_id} not in splits ({len(folds)} folds)")
         fold = folds[data_fold_id]
         meta = fold.get("_meta", {})
-        self.dataset_label = str(
-            dataset_label or meta.get("dataset_name") or self.base_dir.name
-        )
-        self.num_raters = (
-            num_raters
-            or meta.get("num_raters")
-            or infer_num_raters(self.dataset_label)
-        )
-        if self.num_raters is None:
-            raise ValueError(
-                f"Cannot infer rater count for dataset '{self.dataset_label}'"
-            )
+        self.split_schema = meta.get("schema")
+        is_combined = "combined" in str(self.split_schema or "").lower()
         self.rater_pattern = (
             rater_pattern or meta.get("rater_pattern") or "{base_id}_{rater:02d}_mask.npy"
         )
@@ -104,32 +94,72 @@ class MultiRaterDataset:
             raise ValueError(f"Unknown split '{split}'. Available: {available}")
         subject_ids = list(np.asarray(fold[split]).tolist())
 
-        proc_dir = self.base_dir / "preprocessed"
-        label_dir = proc_dir / "labels"
         self.image_paths: list[Path] = []
         self.label_paths: list[list[Path]] = []
         self.image_ids: list[str] = []
-        for rel in subject_ids:
-            img_path = proc_dir / rel
-            base_id = Path(rel).stem
-            raters = [
-                label_dir / self.rater_pattern.format(base_id=base_id, rater=r)
-                for r in range(self.num_raters)
-            ]
-            self.image_paths.append(img_path)
-            self.label_paths.append(raters)
-            self.image_ids.append(base_id)
+        self.sample_datasets: list[str] = []
+
+        if is_combined:
+            # combined schema (``lidc2d_dataset.py:197-235``): subject ids are
+            # "<dataset>/<rel path>" under the parent dir; per-dataset rater
+            # counts come from _meta.dataset_configs
+            self.dataset_label = str(dataset_label or meta.get("dataset_name") or "combined")
+            configs = meta.get("dataset_configs", {})
+            if not configs:
+                raise ValueError("combined split needs _meta.dataset_configs")
+            parent_dir = self.base_dir.parent
+            self.sample_num_raters: list[int] = []
+            counts = []
+            for rel in subject_ids:
+                ds_name, sub_rel = str(rel).split("/", 1)
+                n_r = int(configs[ds_name].get("num_raters"))
+                proc = parent_dir / ds_name / "preprocessed"
+                base_id = Path(sub_rel).stem
+                self.image_paths.append(proc / sub_rel)
+                self.label_paths.append([
+                    proc / "labels" / self.rater_pattern.format(base_id=base_id, rater=r)
+                    for r in range(n_r)
+                ])
+                self.image_ids.append(base_id)
+                self.sample_datasets.append(ds_name)
+                self.sample_num_raters.append(n_r)
+                counts.append(n_r)
+            self.num_raters = max(counts) if counts else (num_raters or 0)
+        else:
+            self.dataset_label = str(
+                dataset_label or meta.get("dataset_name") or self.base_dir.name
+            )
+            self.num_raters = (
+                num_raters
+                or meta.get("num_raters")
+                or infer_num_raters(self.dataset_label)
+            )
+            if self.num_raters is None:
+                raise ValueError(
+                    f"Cannot infer rater count for dataset '{self.dataset_label}'"
+                )
+            proc_dir = self.base_dir / "preprocessed"
+            label_dir = proc_dir / "labels"
+            for rel in subject_ids:
+                base_id = Path(rel).stem
+                self.image_paths.append(proc_dir / rel)
+                self.label_paths.append([
+                    label_dir / self.rater_pattern.format(base_id=base_id, rater=r)
+                    for r in range(self.num_raters)
+                ])
+                self.image_ids.append(base_id)
+                self.sample_datasets.append(self.dataset_label)
 
     def __len__(self) -> int:
         return len(self.image_paths)
 
     # ---- rater selection -------------------------------------------------
 
-    def stable_rater_index(self, image_id: str) -> int:
+    def stable_rater_index(self, image_id: str, num_raters: int | None = None) -> int:
         seed_key = f"{self._single_rater_seed}:{self.dataset_label}:{self.split}:{image_id}"
         digest = hashlib.sha256(seed_key.encode("utf-8")).digest()
         value = int.from_bytes(digest[:4], byteorder="big", signed=False)
-        return value % self.num_raters
+        return value % (num_raters or self.num_raters)
 
     # ---- loading ---------------------------------------------------------
 
@@ -158,7 +188,8 @@ class MultiRaterDataset:
         if self.return_all_raters:
             masks = np.stack([np.load(p) for p in paths]).astype(np.int32)
         elif self.single_rater:
-            masks = np.load(paths[self.stable_rater_index(self.image_ids[idx])]).astype(np.int32)
+            ridx = self.stable_rater_index(self.image_ids[idx], len(paths))
+            masks = np.load(paths[ridx]).astype(np.int32)
         else:
             if rng is None:
                 rng = np.random.default_rng()
@@ -167,5 +198,5 @@ class MultiRaterDataset:
             "image": image,
             "seg": masks,
             "image_id": self.image_ids[idx],
-            "dataset": self.dataset_label,
+            "dataset": self.sample_datasets[idx],
         }
