@@ -23,11 +23,21 @@ NOT charged to the baseline — the ratio is conservative.
 """
 
 import json
+import os
+import sys
 import time
 
 import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import jax.numpy as jnp
 import numpy as np
+
+
+def _log(msg):
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
 from diffuncertainty_tpu.core.config import load_config
 from diffuncertainty_tpu.models.factory import build_model
@@ -50,8 +60,11 @@ def slope_time(fn_k, params, images):
         return time.perf_counter() - t0
 
     # compile both K variants
-    run(1, 0)
-    run(KBIG, 0)
+    _log("compiling K=1 ...")
+    t = run(1, 0)
+    _log(f"K=1 compile+run {t:.1f}s; compiling K={KBIG} ...")
+    t = run(KBIG, 0)
+    _log(f"K={KBIG} compile+run {t:.1f}s; timing ...")
     diffs = []
     for r in range(REPEATS):
         t1 = run(1, 10 + r)

@@ -180,6 +180,8 @@ class TrainerConfig:
     weight_decay: float = 0.0
     gradient_clip_val: float = 0.5
     precision: str = "fp32"  # fp32 | bf16
+    lr_schedule: str = "none"  # none | linear | cosine (reference lr_scheduler)
+    lr_schedule_total_steps: int = 0  # 0 -> derived from epochs * steps/epoch
     val_every_n_epochs: int = 1
     mesh_shape: tuple[int, ...] = (1, 1)  # (data, member) device mesh
     mesh_axis_names: tuple[str, ...] = ("data", "member")

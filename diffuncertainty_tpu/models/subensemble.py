@@ -197,3 +197,36 @@ def submodel_size_penalty(
     if not penalties:
         return jnp.zeros(())
     return jnp.mean(jnp.stack(penalties))
+
+
+def compute_mask_stats(mask_logits: dict, *, rows_only: bool = False) -> dict:
+    """Offline checkpoint inspector (``models/subensemble_mask_stats.py:9-100``):
+    per-member sparsity, global fill, and the pairwise hard-IoU matrix."""
+    import numpy as np
+
+    total_active = None
+    total_weights = 0
+    inter_acc = None
+    union_acc = None
+    for key in mask_logits:
+        w = np.asarray(_hard_binary_weights(mask_logits, key, rows_only))
+        active = w.sum(axis=1)
+        total_active = active if total_active is None else total_active + active
+        total_weights += w.shape[1]
+        inter = w @ w.T
+        sums = w.sum(axis=1, keepdims=True)
+        union = sums + sums.T - inter
+        inter_acc = inter if inter_acc is None else inter_acc + inter
+        union_acc = union if union_acc is None else union_acc + union
+    if total_active is None:
+        return {"num_masks": 0}
+    m = len(total_active)
+    iou = inter_acc / np.maximum(union_acc, 1e-8)
+    iu, ju = np.triu_indices(m, k=1)
+    return {
+        "num_masks": m,
+        "fill_fraction_per_member": (total_active / total_weights).tolist(),
+        "mean_fill_fraction": float(np.mean(total_active / total_weights)),
+        "mean_pairwise_iou": float(iou[iu, ju].mean()) if m > 1 else 1.0,
+        "pairwise_iou_matrix": iou.tolist(),
+    }

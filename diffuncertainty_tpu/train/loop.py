@@ -66,9 +66,20 @@ class Trainer:
         self.mesh = make_mesh(tuple(cfg.trainer.mesh_shape), tuple(cfg.trainer.mesh_axis_names)) \
             if int(np.prod(cfg.trainer.mesh_shape)) > 1 else None
 
+        lr: Any = cfg.trainer.learning_rate
+        if cfg.trainer.lr_schedule != "none":
+            total = cfg.trainer.lr_schedule_total_steps or max(
+                cfg.trainer.max_epochs, 1
+            )
+            if cfg.trainer.lr_schedule == "linear":
+                lr = optax.linear_schedule(cfg.trainer.learning_rate, 0.0, total)
+            elif cfg.trainer.lr_schedule == "cosine":
+                lr = optax.cosine_decay_schedule(cfg.trainer.learning_rate, total)
+            else:
+                raise ValueError(cfg.trainer.lr_schedule)
         tx = optax.chain(
             optax.clip_by_global_norm(cfg.trainer.gradient_clip_val),
-            optax.adamw(cfg.trainer.learning_rate, weight_decay=cfg.trainer.weight_decay),
+            optax.adamw(lr, weight_decay=cfg.trainer.weight_decay),
         )
         self.tx = tx
         self.track_ema = cfg.ema.track_ema_weights
