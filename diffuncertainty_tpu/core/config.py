@@ -21,8 +21,7 @@ from typing import Any
 
 import yaml
 
-from ..models.unet import DropoutSpec
-from ..models.prob_unet import ProbUnetSpec
+from .specs import DropoutSpec, ProbUnetSpec
 
 
 # --------------------------------------------------------------------------

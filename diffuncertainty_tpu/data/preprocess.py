@@ -75,6 +75,65 @@ def preprocess_dataset_2d(
     return rel_ids
 
 
+def preprocess_volumes_to_slices(
+    raw_dir: str | Path,
+    out_dir: str | Path,
+    *,
+    num_raters: int,
+    mode: str = "center",  # center | foreground | all
+    patch_multiple: int = 32,
+    normalize: bool = True,
+    min_foreground: int = 1,
+) -> list[str]:
+    """3D volumes -> 2D slice dataset (``save_cropped_nodules_2d.py`` /
+    ``preprocess_datasets_3d.py`` analog).
+
+    Input: ``{base}.npy`` (D, H, W) volumes + ``{base}_{r:02d}_mask.npy``
+    (D, H, W) rater masks. ``center`` keeps the middle slice, ``foreground``
+    keeps slices where any rater has >= min_foreground positive pixels,
+    ``all`` keeps everything. Slices are z-scored per slice and padded.
+    """
+    raw_dir, out_dir = Path(raw_dir), Path(out_dir)
+    img_out = out_dir / "preprocessed" / "images"
+    lbl_out = out_dir / "preprocessed" / "labels"
+    img_out.mkdir(parents=True, exist_ok=True)
+    lbl_out.mkdir(parents=True, exist_ok=True)
+    rel_ids = []
+    for vol_path in sorted(raw_dir.glob("*.npy")):
+        if vol_path.name.endswith("_mask.npy"):
+            continue
+        base = vol_path.stem
+        vol = np.load(vol_path).astype(np.float32)
+        masks = [
+            np.load(raw_dir / f"{base}_{r:02d}_mask.npy") for r in range(num_raters)
+        ]
+        d = vol.shape[0]
+        if mode == "center":
+            keep = [d // 2]
+        elif mode == "foreground":
+            keep = [
+                z for z in range(d)
+                if any(int((m[z] > 0).sum()) >= min_foreground for m in masks)
+            ] or [d // 2]
+        elif mode == "all":
+            keep = list(range(d))
+        else:
+            raise ValueError(mode)
+        for z in keep:
+            sid = f"{base}_z{z:03d}" if len(keep) > 1 else base
+            img = vol[z]
+            if normalize:
+                img = zscore_normalize(img)
+            np.save(img_out / f"{sid}.npy", pad_to_multiple(img, patch_multiple))
+            for r, m in enumerate(masks):
+                np.save(
+                    lbl_out / f"{sid}_{r:02d}_mask.npy",
+                    pad_to_multiple(m[z].astype(np.int32), patch_multiple).astype(np.uint8),
+                )
+            rel_ids.append(f"images/{sid}.npy")
+    return rel_ids
+
+
 def _patient_of(image_id: str) -> str:
     """Patient grouping key: everything before the last '_' chunk."""
     stem = Path(image_id).stem

@@ -20,6 +20,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ..core.specs import ProbUnetSpec
 from .unet import DiffUnet, conv1x1
 
 
@@ -143,26 +144,6 @@ def _scale_channel_mult(channel_mult, scale: float):
         sv = max(1, int(round(v * scale)))
         out.append(1 if i == 0 else sv)
     return tuple(out)
-
-
-@dataclasses.dataclass(frozen=True)
-class ProbUnetSpec:
-    """Config block mirroring ``configs/model/prob_unet.yaml``."""
-
-    latent_dim: int = 6
-    beta: float = 10.0
-    beta_warmup_epochs: int = 0
-    regularizer_coeff: float = 1e-5
-    num_fcomb_convs: int = 4
-    unet_channel_mult: float = 0.75
-    prior_channel_mult: float = 0.5
-    posterior_channel_mult: float = 0.5
-
-    def beta_at_epoch(self, epoch: int) -> float:
-        if self.beta_warmup_epochs <= 0:
-            return self.beta
-        progress = min(1.0, max(0.0, float(epoch + 1) / self.beta_warmup_epochs))
-        return self.beta * progress
 
 
 def build_prob_unet(base_kwargs: dict[str, Any], spec: ProbUnetSpec) -> ProbUnet:

@@ -45,6 +45,10 @@ class SamplerSpec:
     n_pred: int = 10
     n_members: int = 1
     member_mode: str = "single"  # single | params_stack | dropout
+    member_chunk: int | None = None  # chunk the member vmap (HBM ceiling);
+    # None -> fully vectorized. SURVEY §7: a fused (members x samples x B x
+    # H x W x C) diffusion stack can exceed HBM; lax.map with batch_size
+    # trades parallelism for peak memory without leaving the program.
     tta: bool = False
     tta_config: TTAConfig = TTAConfig()
     same_dropout: bool = False
@@ -186,12 +190,26 @@ def make_sampler(built: BuiltModel, spec: SamplerSpec) -> Callable:
             group_is_generative=tuple([built.is_generative] * n_members),
         )
 
+    chunk = spec.member_chunk
+
     def sampler(params, images, rng):
         member_keys = jax.random.split(rng, n_members)
         if spec.member_mode == "params_stack":
-            groups = jax.vmap(group_fn, in_axes=(0, 0, None))(params, member_keys, images)
+            if chunk:
+                groups = jax.lax.map(
+                    lambda args: group_fn(args[0], args[1], images),
+                    (params, member_keys), batch_size=min(chunk, n_members),
+                )
+            else:
+                groups = jax.vmap(group_fn, in_axes=(0, 0, None))(params, member_keys, images)
         elif spec.member_mode == "dropout":
-            groups = jax.vmap(group_fn, in_axes=(None, 0, None))(params, member_keys, images)
+            if chunk:
+                groups = jax.lax.map(
+                    lambda k: group_fn(params, k, images),
+                    member_keys, batch_size=min(chunk, n_members),
+                )
+            else:
+                groups = jax.vmap(group_fn, in_axes=(None, 0, None))(params, member_keys, images)
         else:
             groups = group_fn(params, member_keys[0], images)[None]
         # groups: (M, S, B, H, W, C)

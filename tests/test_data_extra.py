@@ -151,3 +151,26 @@ def test_mask_elastic_deform_preserves_labelset():
     mask[10:20, 10:20] = 1
     out = ax.mask_elastic_deform(mask, r)
     assert set(np.unique(out)) <= {0, 1}
+
+
+def test_volume_to_slices(tmp_path):
+    from diffuncertainty_tpu.data.preprocess import preprocess_volumes_to_slices
+
+    raw = tmp_path / "vols"
+    raw.mkdir()
+    r = np.random.default_rng(0)
+    vol = r.random((8, 20, 24)).astype(np.float32)
+    masks = np.zeros((2, 8, 20, 24), np.uint8)
+    masks[:, 3:5, 5:10, 5:10] = 1  # foreground only on slices 3-4
+    np.save(raw / "case0.npy", vol)
+    for i in range(2):
+        np.save(raw / f"case0_{i:02d}_mask.npy", masks[i])
+
+    center = preprocess_volumes_to_slices(raw, tmp_path / "c", num_raters=2, mode="center",
+                                          patch_multiple=8)
+    assert center == ["images/case0.npy"]
+    fg = preprocess_volumes_to_slices(raw, tmp_path / "f", num_raters=2, mode="foreground",
+                                      patch_multiple=8)
+    assert fg == ["images/case0_z003.npy", "images/case0_z004.npy"]
+    img = np.load(tmp_path / "f" / "preprocessed" / fg[0])
+    assert img.shape == (24, 24)  # padded to multiple of 8

@@ -173,3 +173,18 @@ def test_sampler_is_jittable():
     images = jnp.ones((2, 16, 16, 3))
     out = jfn(params, images, jax.random.key(0))
     assert out.groups.shape == (2, 1, 2, 16, 16, 2)
+
+
+def test_member_chunking_matches_full_vmap():
+    built = _built(eu="dropout")
+    params = _randomized(built)
+    images = jnp.asarray(np.random.default_rng(3).random((2, 16, 16, 3)), jnp.float32)
+    full = make_sampler(built, SamplerSpec(n_pred=1, n_members=4, member_mode="dropout"))
+    chunked = make_sampler(
+        built, SamplerSpec(n_pred=1, n_members=4, member_mode="dropout", member_chunk=2)
+    )
+    a = full(params, images, jax.random.key(5))
+    b = chunked(params, images, jax.random.key(5))
+    np.testing.assert_allclose(
+        np.asarray(a.groups), np.asarray(b.groups), atol=1e-6
+    )
