@@ -65,10 +65,36 @@ def build_loaders(cfg: ExperimentConfig):
         data_fold_id=cfg.data.data_fold_id,
         return_all_raters=False, single_rater=cfg.data.single_rater,
     )
-    val_ds = MultiRaterDataset(
-        splits_path, data_dir, split="val",
-        data_fold_id=cfg.data.data_fold_id, return_all_raters=True,
-    )
+    from ..data.dataset import load_splits
+
+    fold = load_splits(splits_path)[cfg.data.data_fold_id]
+    if "val" in fold:
+        val_ds = MultiRaterDataset(
+            splits_path, data_dir, split="val",
+            data_fold_id=cfg.data.data_fold_id, return_all_raters=True,
+        )
+    else:
+        # no explicit val split: carve validation_ratio off the train set
+        # deterministically (reference BaseDataModule validation_ratio)
+        val_ds = MultiRaterDataset(
+            splits_path, data_dir, split="train",
+            data_fold_id=cfg.data.data_fold_id, return_all_raters=True,
+        )
+        n = len(train_ds)
+        n_val = max(1, int(round(n * cfg.data.validation_ratio)))
+        rng = np.random.default_rng(cfg.seed)
+        val_idx = set(rng.choice(n, n_val, replace=False).tolist())
+
+        def _subset(ds, keep):
+            ds.image_paths = [p for i, p in enumerate(ds.image_paths) if i in keep]
+            ds.label_paths = [p for i, p in enumerate(ds.label_paths) if i in keep]
+            ds.image_ids = [p for i, p in enumerate(ds.image_ids) if i in keep]
+            ds.sample_datasets = [
+                p for i, p in enumerate(ds.sample_datasets) if i in keep
+            ]
+
+        _subset(val_ds, val_idx)
+        _subset(train_ds, set(range(n)) - val_idx)
     train_loader = BatchLoader(
         train_ds, cfg.data.batch_size, shuffle=True, seed=cfg.seed, drop_last=True
     )
