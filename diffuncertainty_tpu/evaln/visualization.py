@@ -146,6 +146,79 @@ def barplot(
     return Path(out_path)
 
 
+def metric_matrix(
+    df: pd.DataFrame,
+    *,
+    task: str,
+    metric: str,
+    out_path: str | Path | None = None,
+):
+    """(unc_type x aggregation) heatmap of one task metric per version —
+    the reference's metric-matrix panels (``visualization/helpers.py``)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    sel = df[(df["task"] == task) & (df["metric"] == metric)]
+    if sel.empty:
+        raise ValueError(f"no rows for {task}/{metric}")
+    pivot = sel.pivot_table(index="unc_type", columns="aggregation",
+                            values="value", aggfunc="mean")
+    if out_path is not None:
+        fig, ax = plt.subplots(figsize=(1.5 + 1.1 * pivot.shape[1], 1.2 + 0.6 * pivot.shape[0]))
+        im = ax.imshow(pivot.values, cmap="viridis")
+        ax.set_xticks(range(pivot.shape[1]), pivot.columns, rotation=30, ha="right")
+        ax.set_yticks(range(pivot.shape[0]), pivot.index)
+        for i in range(pivot.shape[0]):
+            for j in range(pivot.shape[1]):
+                ax.text(j, i, f"{pivot.values[i, j]:.3f}", ha="center", va="center",
+                        color="white", fontsize=8)
+        ax.set_title(f"{task}: {metric}")
+        fig.colorbar(im, ax=ax)
+        fig.tight_layout()
+        fig.savefig(out_path, dpi=120)
+        plt.close(fig)
+    return pivot
+
+
+def au_eu_scatter(
+    df: pd.DataFrame,
+    *,
+    task: str = "ood_detection",
+    metric: str = "auroc",
+    aggregation: str = "image_level",
+    out_path: str | Path = "au_eu_scatter.png",
+):
+    """AU-vs-EU score scatter per version (the "entanglement" figure)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    sel = df[(df["task"] == task) & (df["metric"] == metric)
+             & (df["aggregation"].isin([aggregation, "-"]))]
+    pivot = sel.pivot_table(index="version", columns="unc_type",
+                            values="value", aggfunc="mean")
+    if "AU" not in pivot.columns or "EU" not in pivot.columns:
+        raise ValueError("need both AU and EU rows for the scatter")
+    fig, ax = plt.subplots(figsize=(5, 5))
+    ax.scatter(pivot["AU"], pivot["EU"])
+    for version, row in pivot.iterrows():
+        ax.annotate(str(version), (row["AU"], row["EU"]), fontsize=7,
+                    xytext=(3, 3), textcoords="offset points")
+    lims = [min(pivot["AU"].min(), pivot["EU"].min()) - 0.02,
+            max(pivot["AU"].max(), pivot["EU"].max()) + 0.02]
+    ax.plot(lims, lims, "k--", alpha=0.4)
+    ax.set_xlabel(f"AU {metric}")
+    ax.set_ylabel(f"EU {metric}")
+    ax.set_title(f"{task} ({aggregation})")
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=120)
+    plt.close(fig)
+    return Path(out_path)
+
+
 def plot_prediction_grid(
     raw: dict,
     out_path: str | Path,

@@ -164,3 +164,24 @@ def test_raw_predictions_and_grid(tmp_path):
     assert rec["groups"].shape[0] == 3 and rec["mean"].shape == (32, 32, 2)
     out = plot_prediction_grid(raw, tmp_path / "grid.png")
     assert out.exists()
+
+
+def test_metric_matrix_and_scatter(tmp_path):
+    import pandas as pd
+
+    from diffuncertainty_tpu.evaln.visualization import au_eu_scatter, metric_matrix
+
+    rows = []
+    for version in ("m1", "m2"):
+        for unc in ("TU", "AU", "EU"):
+            for agg in ("image_level", "patch_level"):
+                rows.append(dict(task="ood_detection", metric="auroc", unc_type=unc,
+                                 aggregation=agg, version=version,
+                                 value=0.6 + 0.1 * (unc == "EU") + 0.05 * (version == "m2"),
+                                 dataset="-"))
+    df = pd.DataFrame(rows)
+    pivot = metric_matrix(df, task="ood_detection", metric="auroc",
+                          out_path=tmp_path / "mm.png")
+    assert pivot.shape == (3, 2) and (tmp_path / "mm.png").exists()
+    out = au_eu_scatter(df, out_path=tmp_path / "scatter.png")
+    assert out.exists()
