@@ -23,6 +23,7 @@ from typing import Iterator
 import numpy as np
 
 from .dataset import MultiRaterDataset
+from . import native_loader
 
 
 class BatchLoader:
@@ -36,6 +37,7 @@ class BatchLoader:
         drop_last: bool = False,
         num_workers: int = 8,
         prefetch: int = 2,
+        use_native: bool = True,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -45,6 +47,14 @@ class BatchLoader:
         self.num_workers = num_workers
         self.prefetch = prefetch
         self._epoch = 0
+        # native C++ batch reader fast path: only for plain MultiRaterDataset
+        # trees with uniform shapes (probed lazily on the first batch)
+        self._native = (
+            use_native
+            and type(dataset) is MultiRaterDataset
+            and native_loader.native_available()
+        )
+        self._native_shapes = None  # (img_slot_shape, mask_hw, replicate)
 
     def set_epoch(self, epoch: int) -> None:
         self._epoch = epoch
@@ -97,6 +107,67 @@ class BatchLoader:
             "dataset": [s["dataset"] for s in samples],
         }
 
+    def _try_native_batch(self, idxs, rng) -> dict | None:
+        """C++ thread-pool read of a whole batch; None -> python fallback."""
+        ds = self.dataset
+        try:
+            if self._native_shapes is None:
+                probe = ds.load(0)
+                img = probe["image"]
+                raw = np.load(ds.image_paths[0], mmap_mode="r")
+                replicate = raw.ndim == 2 and img.shape[-1] == 3
+                self._native_shapes = (raw.shape, probe["seg"].shape[-2:], replicate)
+            raw_shape, mask_hw, replicate = self._native_shapes
+
+            img_paths = [ds.image_paths[i] for i in idxs]
+            images = native_loader.load_batch(
+                img_paths, raw_shape, dtype="float32", num_threads=self.num_workers
+            )
+            if replicate:
+                images = np.repeat(images[..., None], 3, axis=-1)
+            elif images.ndim == 3:
+                images = images[..., None]
+
+            if ds.return_all_raters:
+                flat_paths = []
+                counts = []
+                for i in idxs:
+                    flat_paths.extend(ds.label_paths[i])
+                    counts.append(len(ds.label_paths[i]))
+                if len(set(counts)) != 1:
+                    return None  # variable rater counts -> python path
+                r = counts[0]
+                masks = native_loader.load_batch(
+                    flat_paths, mask_hw, dtype="int32", num_threads=self.num_workers
+                ).reshape(len(idxs), r, *mask_hw)
+                segs = [masks[j] for j in range(len(idxs))]
+            else:
+                sel_paths = []
+                for i in idxs:
+                    paths = ds.label_paths[i]
+                    if ds.single_rater:
+                        ridx = ds.stable_rater_index(ds.image_ids[i], len(paths))
+                    else:
+                        ridx = int(rng.integers(len(paths)))
+                    sel_paths.append(paths[ridx])
+                masks = native_loader.load_batch(
+                    sel_paths, mask_hw, dtype="int32", num_threads=self.num_workers
+                )
+                segs = [masks[j] for j in range(len(idxs))]
+            samples = [
+                {
+                    "image": images[j],
+                    "seg": segs[j],
+                    "image_id": ds.image_ids[i],
+                    "dataset": ds.sample_datasets[i],
+                }
+                for j, i in enumerate(idxs)
+            ]
+            return self._collate(samples, valid_count=len(idxs))
+        except Exception:
+            self._native = False  # permanent fallback for this loader
+            return None
+
     def __iter__(self) -> Iterator[dict]:
         order = self._order()
         rng = np.random.default_rng((self.seed, self._epoch, 1))
@@ -109,6 +180,10 @@ class BatchLoader:
         self._epoch += 1
 
         def load_batch(idxs):
+            if self._native:
+                batch = self._try_native_batch(idxs, rng)
+                if batch is not None:
+                    return batch
             with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
                 child_rngs = [np.random.default_rng(rng.integers(2**63)) for _ in idxs]
                 samples = list(

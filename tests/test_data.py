@@ -120,3 +120,22 @@ def test_augment_is_jittable(rng):
     masks = jnp.asarray(rng.integers(0, 2, (2, 16, 16)), jnp.int32)
     out_img, out_mask = fn(jax.random.key(1), images, masks)
     assert out_img.shape == images.shape
+
+
+def test_native_loader_matches_python_path(toy_dir):
+    from diffuncertainty_tpu.data.native_loader import native_available
+
+    if not native_available():
+        pytest.skip("native loader not built")
+    for kwargs in (
+        dict(return_all_raters=True),
+        dict(return_all_raters=False, single_rater=True),
+    ):
+        ds = MultiRaterDataset(_splits(toy_dir), toy_dir, split="train", **kwargs)
+        nat = BatchLoader(ds, 5, shuffle=False, use_native=True)
+        pyl = BatchLoader(ds, 5, shuffle=False, use_native=False)
+        for a, b in zip(nat, pyl):
+            assert nat._native, "native path silently fell back"
+            np.testing.assert_allclose(a["image"], b["image"], atol=1e-6)
+            np.testing.assert_array_equal(a["seg"], b["seg"])
+            assert a["image_id"] == b["image_id"]
