@@ -19,8 +19,6 @@ import shutil
 from pathlib import Path
 from typing import Any
 
-import jax
-import numpy as np
 import orbax.checkpoint as ocp
 
 from .config import ExperimentConfig

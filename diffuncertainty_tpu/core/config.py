@@ -15,7 +15,6 @@ self-describing like the reference's hparams-in-ckpt contract
 from __future__ import annotations
 
 import dataclasses
-import importlib.resources
 from pathlib import Path
 from typing import Any
 

@@ -21,7 +21,7 @@ the reference does, ``test_utils.py:618-668``).
 
 from __future__ import annotations
 
-from typing import Any, Callable
+from typing import Callable
 
 import numpy as np
 

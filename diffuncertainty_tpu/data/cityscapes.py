@@ -21,7 +21,7 @@ import numpy as np
 
 from . import cityscapes_labels as cs
 from .augment_extra import stochastic_label_switches
-from .dataset import MultiRaterDataset, load_splits
+from .dataset import MultiRaterDataset
 
 
 class CityscapesDataset(MultiRaterDataset):

@@ -22,7 +22,6 @@ in ``loader.py`` (the JAX equivalent of the torch DataLoader worker pool).
 from __future__ import annotations
 
 import hashlib
-import os
 import pickle
 from pathlib import Path
 from typing import Any

@@ -14,7 +14,6 @@ from __future__ import annotations
 
 import argparse
 import glob
-import sys
 from pathlib import Path
 
 from .runner import InferenceConfig, UncertaintyInference

@@ -20,8 +20,6 @@ training steps must thread ``mutable=["batch_stats"]``.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

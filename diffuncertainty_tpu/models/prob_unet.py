@@ -13,7 +13,6 @@ with explicit PRNG keys so ``vmap`` over keys replaces the reference's
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Any, NamedTuple
 
 import flax.linen as nn
@@ -21,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.specs import ProbUnetSpec
-from .unet import DiffUnet, conv1x1
+from .unet import DiffUnet
 
 
 class LatentParams(NamedTuple):

@@ -18,7 +18,7 @@ that branches at trace time on the AU type.
 
 from __future__ import annotations
 
-from typing import Any, Callable
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
