@@ -177,7 +177,8 @@ class TrainerConfig:
     learning_rate: float = 1e-4
     weight_decay: float = 0.0
     gradient_clip_val: float = 0.5
-    precision: str = "fp32"  # fp32 | bf16
+    precision: str = "fp32"  # fp32 | bf16 (compute dtype; params stay fp32)
+    remat: bool = False  # jax.checkpoint the loss forward (HBM for FLOPs)
     lr_schedule: str = "none"  # none | linear | cosine (reference lr_scheduler)
     lr_schedule_total_steps: int = 0  # 0 -> derived from epochs * steps/epoch
     val_every_n_epochs: int = 1

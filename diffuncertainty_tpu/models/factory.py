@@ -112,7 +112,11 @@ def build_model(cfg: ExperimentConfig) -> BuiltModel:
         dropout_spec = DropoutSpec.from_config(None, default_rate=net.dropout)
 
     in_channels = net.in_channels + (net.out_channels if is_diffusion else 0)
+    import jax.numpy as jnp
+
+    compute_dtype = jnp.bfloat16 if cfg.trainer.precision == "bf16" else jnp.float32
     unet_kwargs = dict(
+        dtype=compute_dtype,
         in_channels=in_channels,
         out_channels=net.out_channels,
         model_channels=net.model_channels,

@@ -138,6 +138,9 @@ class Trainer:
             n_aleatoric_samples=self.cfg.model.n_aleatoric_samples,
             ssn_mean_only=ssn_mean_only,
         )
+        if self.cfg.trainer.remat:
+            # rematerialize the forward under grad: trade FLOPs for HBM
+            loss_fn = jax.checkpoint(loss_fn, static_argnums=())
         ema_decay = self.ema_decay
         track_ema = self.track_ema
 

@@ -135,3 +135,19 @@ def test_scheduled_epochs_exponential():
         use_exponential=True, exponent_base=2.0, exponential_start=10,
     )
     assert eps == [10, 20, 40, 80]
+
+
+def test_bf16_and_remat_training(toy_dir, tmp_path):
+    cfg = _cfg(tmp_path, extra=["trainer.precision=bf16", "trainer.remat=true",
+                                "trainer.max_epochs=1"])
+    trainer = Trainer(cfg)
+    assert trainer.built.module.dtype.__name__ == "bfloat16"
+    train_loader, _ = _loaders(toy_dir)
+    state = trainer.fit(train_loader, None)
+    import json
+
+    logs = [json.loads(l) for l in (trainer.workdir / "metrics.jsonl").read_text().splitlines()]
+    assert np.isfinite(logs[0]["train_loss"])
+    # params stay fp32
+    leaf = jax.tree.leaves(state.params)[0]
+    assert leaf.dtype == jnp.float32
