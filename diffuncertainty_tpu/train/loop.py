@@ -236,9 +236,14 @@ class Trainer:
         )
         loss_j = jax.jit(loss_fn)
         pred_j = jax.jit(self._mean_prediction)
-        losses, dices = [], []
+        losses, dices, geds = [], [], []
         rng = jax.random.key(self.cfg.seed + 1000 + epoch)
         num_classes = self.built.num_classes
+        ged_ign = (
+            self.cfg.data.ignore_index
+            if self.cfg.data.ignore_index is not None and self.cfg.data.ignore_index >= 0
+            else None
+        )
         for i, batch in enumerate(val_loader):
             rng, k1, k2 = jax.random.split(rng, 3)
             jbatch = {"image": jnp.asarray(batch["image"]), "seg": jnp.asarray(batch["seg"])}
@@ -261,7 +266,18 @@ class Trainer:
             valid = np.asarray(batch["valid"])
             losses.append(float(loss))
             dices.extend(np.asarray(jnp.mean(d, axis=1))[valid].tolist())
-        return {"val_loss": float(np.mean(losses)), "val_dice": float(np.mean(dices))}
+            # per-image multi-rater GED of the (single) mean prediction
+            # (reference validation_step :855-891)
+            if seg.shape[1] > 1 and num_classes == 2:
+                from ..metrics.ged import ged_binary
+
+                for b_idx in np.nonzero(valid)[0]:
+                    g = ged_binary(probs[b_idx][None], seg[b_idx], ignore_index=ged_ign)
+                    geds.append(float(g["ged"]))
+        out = {"val_loss": float(np.mean(losses)), "val_dice": float(np.mean(dices))}
+        if geds:
+            out["val_ged"] = float(np.mean(geds))
+        return out
 
     # ---- fit ---------------------------------------------------------------
 
