@@ -59,9 +59,17 @@ def fused_group_norm_act(
     interpret: bool = False,
     use_pallas: bool | None = None,
 ) -> jnp.ndarray:
-    """GroupNorm32 + activation on (B, H, W, C) (or (B, T, C)) input."""
+    """GroupNorm32 + activation on (B, H, W, C) (or (B, T, C)) input.
+
+    ``use_pallas`` defaults to explicit opt-in (or ``DIFFUNC_PALLAS=1``):
+    Mosaic kernel compiles hang indefinitely through this container's
+    remote-compile TPU tunnel (interpret-mode correctness is test-covered;
+    flip the default once validated on directly-attached TPUs).
+    """
     if use_pallas is None:
-        use_pallas = interpret or jax.default_backend() in ("tpu", "axon")
+        import os
+
+        use_pallas = interpret or os.environ.get("DIFFUNC_PALLAS") == "1"
     if not use_pallas:
         y = group_norm_32(x, scale, bias, eps=eps)
         if act == "silu":
