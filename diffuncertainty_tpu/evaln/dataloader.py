@@ -58,19 +58,27 @@ class ResultsReader:
 
     # ---- predictions -----------------------------------------------------
 
+    @staticmethod
+    def _decode_pred_png(path: Path) -> np.ndarray:
+        """Binary masks are L-mode 0/255 (rescale to 0/1); multiclass are
+        P-mode palettized index arrays (returned as-is)."""
+        img = Image.open(path)
+        arr = np.asarray(img)
+        if img.mode == "L":
+            return (arr > 0).astype(np.uint8)
+        return arr.astype(np.uint8)
+
     def get_mean_pred_seg(self, image_id: str) -> np.ndarray:
         path = self.pred_dir / f"{image_id}_mean.png"
         if not path.exists():
             path = self.pred_dir / f"{image_id}_01.png"
-        arr = np.asarray(Image.open(path))
-        return (arr > 0).astype(np.uint8) if arr.dtype == np.uint8 and arr.max() > 1 else arr
+        return self._decode_pred_png(path)
 
     def get_pred_segs(self, image_id: str) -> list[np.ndarray]:
-        out = []
-        for p in sorted(self.pred_dir.glob(f"{image_id}_[0-9]*.png")):
-            arr = np.asarray(Image.open(p))
-            out.append((arr > 0).astype(np.uint8) if arr.max() > 1 else arr)
-        return out
+        return [
+            self._decode_pred_png(p)
+            for p in sorted(self.pred_dir.glob(f"{image_id}_[0-9]*.png"))
+        ]
 
     # ---- uncertainty maps ------------------------------------------------
 

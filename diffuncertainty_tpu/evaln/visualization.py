@@ -99,17 +99,33 @@ def task_table(
     return pivot
 
 
+# metrics where smaller is better (risk/error style); everything else is
+# treated as higher-is-better when bolding the per-row winner
+LOWER_IS_BETTER = {"aurc", "eaurc", "ace", "ece", "eqace", "gace", "gece", "ged", "ged_bma"}
+
+
 def to_latex(table: pd.DataFrame, *, highlight_best: bool = True, precision: int = 4) -> str:
-    """Compact LaTeX with the best mean per row bolded."""
+    """Compact LaTeX with the best mean per row bolded (direction-aware)."""
     means = table["mean"] if "mean" in table.columns.get_level_values(0) else table
     lines = [r"\begin{tabular}{l" + "c" * len(means.columns) + "}", r"\toprule"]
     lines.append(" & ".join(["metric"] + [str(c) for c in means.columns]) + r" \\")
     lines.append(r"\midrule")
+    metric_pos = (
+        list(means.index.names).index("metric") if "metric" in (means.index.names or []) else 1
+    )
     for idx, row in means.iterrows():
         label = "/".join(str(x) for x in idx if x != "-")
+        metric_name = str(idx[metric_pos]) if isinstance(idx, tuple) else str(idx)
         vals = row.values.astype(float)
         finite = np.isfinite(vals)
-        best = np.nanargmax(vals) if finite.any() and highlight_best else -1
+        if finite.any() and highlight_best:
+            best = (
+                np.nanargmin(vals)
+                if metric_name.lower() in LOWER_IS_BETTER
+                else np.nanargmax(vals)
+            )
+        else:
+            best = -1
         cells = []
         for i, v in enumerate(vals):
             text = f"{v:.{precision}f}" if np.isfinite(v) else "-"

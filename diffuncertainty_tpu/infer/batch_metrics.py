@@ -45,26 +45,28 @@ def make_batch_metrics(
     gen_mask = tuple(meta.group_is_generative)
     any_gen = any(gen_mask)
 
-    def per_image(group_probs, group_means, mean_probs, gt):
+    def per_image(group_probs, group_means, mean_probs, gt, n_raters):
         """group_probs (G,S,H,W,C), group_means (G,H,W,C), mean (H,W,C),
-        gt (R,H,W) -> dict of scalars + heatmaps."""
+        gt (R,H,W), n_raters scalar (true rater count; padded raters beyond
+        it are excluded from dice/NLL means) -> dict of scalars + heatmaps."""
         out: dict = {}
         mean_idx = jnp.argmax(mean_probs, axis=-1)
         group_idx = jnp.argmax(group_means, axis=-1)  # (G,H,W)
         out["mean_idx"] = mean_idx
         out["group_idx"] = group_idx
+        rater_w = (jnp.arange(gt.shape[0]) < n_raters).astype(jnp.float32)  # (R,)
+        rater_n = jnp.maximum(jnp.sum(rater_w), 1.0)
 
         if compute_dice:
             if binary:
                 d = dice_bin_masked(mean_idx[None], gt, ignore_index)  # (R,)
-                out["dice"] = jnp.mean(d)
             else:
                 d = jax.vmap(
                     lambda rater: dice_multiclass_macro(
                         mean_idx, rater, num_classes, ignore_index=ignore_index
                     )
                 )(gt)
-                out["dice"] = jnp.mean(d)
+            out["dice"] = jnp.sum(d * rater_w) / rater_n
 
         ged_ign = ignore_index if (ignore_index is not None and ignore_index >= 0) else None
         if compute_ged_bma:
@@ -111,22 +113,29 @@ def make_batch_metrics(
 
             nll_rg = nll_of(group_means)  # (R, G)
             nll_rg = jnp.where(vcount[:, None] > 0, nll_rg, 0.0)
+            nll_rg = nll_rg * rater_w[:, None]
             out["gt_model_NLL"] = nll_rg
             out["gt_NLL"] = jnp.mean(nll_rg, axis=1)
-            out["mean_NLL"] = jnp.mean(nll_rg)
+            out["mean_NLL"] = jnp.sum(nll_rg) / (rater_n * nll_rg.shape[1])
             if any_gen:
                 gen_idx = np.nonzero(np.asarray(gen_mask))[0]
                 gen_groups = group_probs[gen_idx]
                 samples = gen_groups.reshape(-1, *gen_groups.shape[2:])
                 nll_rs = nll_of(samples)
                 nll_rs = jnp.where(vcount[:, None] > 0, nll_rs, 0.0)
-                out["gen_NLL"] = jnp.mean(nll_rs)
+                nll_rs = nll_rs * rater_w[:, None]
+                out["gen_NLL"] = jnp.sum(nll_rs) / (rater_n * nll_rs.shape[1])
         return out
 
-    def fn(stack: PredictionStack, gt: jnp.ndarray) -> dict:
+    def fn(stack: PredictionStack, gt: jnp.ndarray, num_raters=None) -> dict:
         # (G,S,B,...) -> batch-major for vmap
         gp = jnp.moveaxis(stack.groups, 2, 0)  # (B,G,S,H,W,C)
         gm = jnp.moveaxis(stack.group_means, 1, 0)  # (B,G,H,W,C)
-        return jax.vmap(per_image)(gp, gm, stack.mean, gt)
+        if num_raters is None:
+            num_raters = jnp.full((gt.shape[0],), gt.shape[1], jnp.int32)
+        # NOTE: GED terms still use the full padded rater axis; for datasets
+        # with uniform rater counts (everything except combined_* schemas)
+        # padding never occurs and GED is exact.
+        return jax.vmap(per_image)(gp, gm, stack.mean, gt, num_raters)
 
     return jax.jit(fn)

@@ -194,7 +194,7 @@ class UncertaintyInference:
             images = normalize_batch(jnp.asarray(batch["image"]), self.aug_cfg)
             stack = self._jit_sampler(self.params, images, key)
             gt = jnp.asarray(batch["seg"])
-            results = self.metrics_fn(stack, gt)
+            results = self.metrics_fn(stack, gt, jnp.asarray(batch["num_raters"]))
             results = jax.device_get(results)
             valid = np.asarray(batch["valid"])
             gt_np = np.asarray(batch["seg"])
@@ -209,9 +209,10 @@ class UncertaintyInference:
                 }
                 writer.add_metrics(image_id, dataset_name, metrics)
                 if icfg.save_likelihood and "mean_NLL" in results:
+                    n_r = int(batch["num_raters"][i])
                     rec = {
-                        "gt_model_NLL": np.asarray(results["gt_model_NLL"][i]).tolist(),
-                        "gt_NLL": np.asarray(results["gt_NLL"][i]).tolist(),
+                        "gt_model_NLL": np.asarray(results["gt_model_NLL"][i])[:n_r].tolist(),
+                        "gt_NLL": np.asarray(results["gt_NLL"][i])[:n_r].tolist(),
                         "mean_NLL": float(results["mean_NLL"][i]),
                     }
                     if "gen_NLL" in results:

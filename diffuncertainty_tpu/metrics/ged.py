@@ -160,13 +160,19 @@ def ged_multiclass(
 
     ged = 2.0 * dist_gt_pred_2 - dist_pred_pred_2 - dist_gt_gt_2
 
-    # major dice: mode over raters (ties -> smallest class, like torch.mode)
+    # major dice: mode over raters (ties -> smallest class, like torch.mode);
+    # the reference then calls dice(majority_pred, majority_gt, ignore_index)
+    # which masks pixels where the MAJORITY label equals the ignore value
+    # (test_utils.py:817-827 -> dice_wrapped ignore semantics)
     majority_pred = jnp.argmax(jnp.mean(output_softmax, axis=0), axis=-1)
     counts = jnp.sum(jax_one_hot(gt, num_classes), axis=0)  # (H,W,C)
     majority_gt = jnp.argmax(counts, axis=-1)
-    valid_all = jnp.all(gt_valid, axis=0) if ignore_index is not None else jnp.ones_like(majority_gt, jnp.bool_)
-    agree_m = jnp.sum((majority_pred == majority_gt) & valid_all).astype(_F32)
-    nv = jnp.sum(valid_all).astype(_F32)
+    if ignore_index is not None:
+        valid_m = majority_gt != ignore_index
+    else:
+        valid_m = jnp.ones_like(majority_gt, jnp.bool_)
+    agree_m = jnp.sum((majority_pred == majority_gt) & valid_m).astype(_F32)
+    nv = jnp.sum(valid_m).astype(_F32)
     major_dice = jnp.where(nv > 0, agree_m / jnp.where(nv > 0, nv, 1.0), 1.0)
 
     return {

@@ -189,7 +189,7 @@ class ContinuousGaussianDiffusion:
             k1, k2 = jax.random.split(rng)
             t0 = jax.random.uniform(k1, ()) / bs
             t = jnp.arange(bs) / bs + t0
-            return jax.random.permutation(k1, t)
+            return jax.random.permutation(k2, t)
         if st == "uniform_low_d":
             k1, k2 = jax.random.split(rng)
             return (jax.random.permutation(k1, bs) + jax.random.uniform(k2, (bs,))) / bs

@@ -115,11 +115,20 @@ def main(argv: list[str] | None = None) -> None:
         state_d, _, meta = load_checkpoint(special["resume_from"])
         import jax.numpy as jnp
 
+        # checkpoints merge non-param collections (batch_stats) into the
+        # saved variables dict; split them back out for the TrainState
+        variables = state_d["params"]
+        params = {"params": variables["params"]}
+        model_state = {k: v for k, v in variables.items() if k != "params"}
+        ema = state_d.get("ema_params")
+        if ema is not None:
+            ema = {"params": ema["params"]}
         resume_state = TrainState(
             step=jnp.asarray(state_d["step"]),
-            params=state_d["params"],
+            params=params,
             opt_state=state_d["opt_state"],
-            ema_params=state_d.get("ema_params"),
+            ema_params=ema,
+            model_state=model_state,
         )
         start_epoch = int(meta["epoch"]) + 1
         print(f"Resuming from epoch {start_epoch}")

@@ -65,24 +65,22 @@ class Trainer:
         self.mesh = make_mesh(tuple(cfg.trainer.mesh_shape), tuple(cfg.trainer.mesh_axis_names)) \
             if int(np.prod(cfg.trainer.mesh_shape)) > 1 else None
 
-        lr: Any = cfg.trainer.learning_rate
-        if cfg.trainer.lr_schedule != "none":
-            total = cfg.trainer.lr_schedule_total_steps or max(
-                cfg.trainer.max_epochs, 1
-            )
-            if cfg.trainer.lr_schedule == "linear":
-                lr = optax.linear_schedule(cfg.trainer.learning_rate, 0.0, total)
-            elif cfg.trainer.lr_schedule == "cosine":
-                lr = optax.cosine_decay_schedule(cfg.trainer.learning_rate, total)
-            else:
-                raise ValueError(cfg.trainer.lr_schedule)
-        tx = optax.chain(
-            optax.clip_by_global_norm(cfg.trainer.gradient_clip_val),
-            optax.adamw(lr, weight_decay=cfg.trainer.weight_decay),
-        )
-        self.tx = tx
+        self.tx = self._build_tx(cfg.trainer.lr_schedule_total_steps or None)
         self.track_ema = cfg.ema.track_ema_weights
         self.ema_decay = cfg.ema.ema_decay
+        from ..data.augment import TrainAugmentConfig
+
+        aug = cfg.data.augmentations
+        self.aug_cfg = TrainAugmentConfig(
+            hflip_p=aug.hflip_p,
+            rotation_limit=aug.rotation_limit,
+            scale_limit=tuple(aug.scale_limit),
+            gauss_noise_var_limit=tuple(aug.gauss_noise_var_limit),
+            gauss_noise_p=aug.gauss_noise_p,
+            mean=tuple(aug.mean),
+            std=tuple(aug.std),
+            augment_mult=aug.augment_mult,
+        )
 
         swag_cfg = cfg.eu_method.swag
         self.swag_enabled = swag_cfg.enabled
@@ -93,7 +91,28 @@ class Trainer:
             self.swag_start_epoch = max(cfg.trainer.max_epochs - 1 - span, 0)
             self.swag_freq = freq
         self._jitted_steps: dict[bool, Any] = {}
+        self._jitted_eval = None
         self._metrics_file = self.workdir / "metrics.jsonl"
+
+    def _build_tx(self, total_steps: int | None):
+        cfg = self.cfg
+        lr: Any = cfg.trainer.learning_rate
+        if cfg.trainer.lr_schedule != "none":
+            # optax schedules count optimizer STEPS; when the caller gave no
+            # explicit total, fit() derives epochs * steps_per_epoch and
+            # rebuilds before the first step (reference passes
+            # datamodule.max_steps() with interval="step")
+            total = total_steps or max(cfg.trainer.max_epochs, 1)
+            if cfg.trainer.lr_schedule == "linear":
+                lr = optax.linear_schedule(cfg.trainer.learning_rate, 0.0, total)
+            elif cfg.trainer.lr_schedule == "cosine":
+                lr = optax.cosine_decay_schedule(cfg.trainer.learning_rate, total)
+            else:
+                raise ValueError(cfg.trainer.lr_schedule)
+        return optax.chain(
+            optax.clip_by_global_norm(cfg.trainer.gradient_clip_val),
+            optax.adamw(lr, weight_decay=cfg.trainer.weight_decay),
+        )
 
     # ---- state ------------------------------------------------------------
 
@@ -143,8 +162,22 @@ class Trainer:
             loss_fn = jax.checkpoint(loss_fn, static_argnums=())
         ema_decay = self.ema_decay
         track_ema = self.track_ema
+        aug_cfg = self.aug_cfg
 
         def step(state: TrainState, batch, rng, sched):
+            from ..data.augment import augment_batch, normalize_batch
+
+            k_aug, rng = jax.random.split(rng)
+            images, seg = batch["image"], batch["seg"]
+            if seg.ndim == 3:
+                # single-rater training: full augment pipeline (geometric +
+                # noise + normalize), the reference TRAIN compose
+                images, seg = augment_batch(aug_cfg, k_aug, images, seg)
+            else:
+                # multi-rater targets: normalize only (geometric warps of the
+                # rater stack are not applied)
+                images = normalize_batch(images, aug_cfg)
+            batch = {"image": images, "seg": seg}
             (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 state.params, batch, rng, sched, state.model_state
             )
@@ -228,14 +261,18 @@ class Trainer:
     def evaluate(self, state: TrainState, val_loader, *, epoch: int, use_ema: bool = False) -> dict:
         base = state.ema_params if (use_ema and self.track_ema) else state.params
         params = {**base, **(state.model_state or {})}
-        loss_fn = make_loss_fn(
-            self.built,
-            ignore_index=self.cfg.data.ignore_index,
-            n_aleatoric_samples=self.cfg.model.n_aleatoric_samples,
-            ssn_mean_only=False,
-        )
-        loss_j = jax.jit(loss_fn)
-        pred_j = jax.jit(self._mean_prediction)
+        if self._jitted_eval is None:
+            loss_fn = make_loss_fn(
+                self.built,
+                ignore_index=self.cfg.data.ignore_index,
+                n_aleatoric_samples=self.cfg.model.n_aleatoric_samples,
+                ssn_mean_only=False,
+            )
+            # jit once; rebuilding per epoch would recompile the full (for
+            # diffusion: scanned) program every validation pass
+            self._jitted_eval = (jax.jit(loss_fn), jax.jit(self._mean_prediction))
+        loss_j, pred_j = self._jitted_eval
+        from ..data.augment import normalize_batch
         losses, dices, geds = [], [], []
         rng = jax.random.key(self.cfg.seed + 1000 + epoch)
         num_classes = self.built.num_classes
@@ -246,7 +283,10 @@ class Trainer:
         )
         for i, batch in enumerate(val_loader):
             rng, k1, k2 = jax.random.split(rng, 3)
-            jbatch = {"image": jnp.asarray(batch["image"]), "seg": jnp.asarray(batch["seg"])}
+            jbatch = {
+                "image": normalize_batch(jnp.asarray(batch["image"]), self.aug_cfg),
+                "seg": jnp.asarray(batch["seg"]),
+            }
             sched = self._sched_for_epoch(epoch)
             loss, _ = loss_j(
                 {"params": params["params"]}, jbatch, k1, sched, state.model_state
@@ -286,6 +326,15 @@ class Trainer:
         cfg = self.cfg
         t_start = time.time()
         shutdown_after = cfg.ckpt_save_freq.shutdown_timer if cfg.ckpt_save_freq.do_shutdown else None
+
+        if (
+            cfg.trainer.lr_schedule != "none"
+            and cfg.trainer.lr_schedule_total_steps == 0
+            and resume_state is None
+        ):
+            total = cfg.trainer.max_epochs * max(len(train_loader), 1)
+            self.tx = self._build_tx(total)
+            self._jitted_steps.clear()
 
         state = resume_state
         rng = jax.random.key(cfg.seed)

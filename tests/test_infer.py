@@ -142,3 +142,33 @@ def test_use_ema_and_skip_existing(toy_dir, tmp_path):
     s1 = inf.run_split("id")
     s2 = inf.run_split("id")
     assert not s1.get("skipped") and s2.get("skipped")
+
+
+def test_padded_raters_excluded_from_dice_and_nll(toy_dir, tmp_path):
+    """Metrics must ignore zero-padded fake raters (combined datasets)."""
+    import jax.numpy as jnp
+
+    from diffuncertainty_tpu.infer.batch_metrics import make_batch_metrics
+    from diffuncertainty_tpu.sampling.sampler import PredictionStack, SamplerMeta
+
+    rng = np.random.default_rng(0)
+    probs1 = rng.random((1, 1, 1, 8, 8, 2)).astype(np.float32)
+    probs1 /= probs1.sum(-1, keepdims=True)
+    gt_real = rng.integers(0, 2, (1, 2, 8, 8)).astype(np.int32)
+    # pad with two fake all-zero raters
+    gt_padded = np.concatenate([gt_real, np.zeros((1, 2, 8, 8), np.int32)], axis=1)
+
+    meta = SamplerMeta(1, 1, (False,))
+    fn = make_batch_metrics(num_classes=2, ignore_index=-1, meta=meta,
+                            compute_ged=False, compute_ged_bma=False)
+    stack = PredictionStack(
+        jnp.asarray(probs1), jnp.asarray(probs1[:, 0]), jnp.asarray(probs1[0, 0])
+    )
+    res_real = fn(stack, jnp.asarray(gt_real), jnp.asarray([2]))
+    res_padded = fn(stack, jnp.asarray(gt_padded), jnp.asarray([2]))
+    np.testing.assert_allclose(
+        float(res_real["dice"][0]), float(res_padded["dice"][0]), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        float(res_real["mean_NLL"][0]), float(res_padded["mean_NLL"][0]), atol=1e-6
+    )
