@@ -214,7 +214,8 @@ class HRNet(nn.Module):
         )
 
         def last_layer(name: str, out_ch: int):
-            t = _conv(feats.shape[-1], 1, 1, f"{name}_conv1")(feats)
+            # torch nn.Conv2d defaults: both head convs carry a bias
+            t = nn.Conv(feats.shape[-1], (1, 1), padding="VALID", name=f"{name}_conv1")(feats)
             t = jax.nn.relu(_bn(f"{name}_bn")(t, use_running_average=not train))
             return nn.Conv(out_ch, (1, 1), padding="VALID", name=f"{name}_conv2")(t)
 
