@@ -90,71 +90,139 @@ class UncertaintyInference:
 
         params_list = [pick_params(s) for s in states]
 
-        eu = self.built.eu_type
-        if len(params_list) > 1:
-            # deep ensemble: stacked params, one member per checkpoint
-            self.params = jax.tree.map(lambda *xs: jnp.stack(xs), *params_list)
-            member_mode, n_members = "params_stack", len(params_list)
-        elif eu in ("swag", "swag_diag"):
-            swag_raw = states[0].get("swag_state")
-            if swag_raw is None:
-                raise ValueError("SWAG checkpoint lacks swag_state")
-            swag_state = swag_lib.SwagState(
-                n_models=jnp.asarray(swag_raw["n_models"]),
-                mean=swag_raw["mean"],
-                sq_mean=swag_raw["sq_mean"],
-                dev=swag_raw.get("dev"),
+        def make_spec(built_i, member_mode, n_members, force_singletons):
+            aug = self.cfg.data.augmentations
+            return SamplerSpec(
+                n_pred=icfg.n_pred,
+                n_members=n_members,
+                member_mode=member_mode,
+                tta=icfg.tta,
+                tta_config=TTAConfig(
+                    hflip_p=aug.hflip_p,
+                    rotation_limit=aug.rotation_limit,
+                    scale_limit=tuple(aug.scale_limit),
+                    augment_mult=aug.augment_mult if aug.augment_mult > 0 else 1.0,
+                ),
+                same_dropout=icfg.same_dropout,
+                discretize=icfg.discretize,
+                direct_au=icfg.direct_au or force_singletons,
+                diffusion_num_steps=icfg.diffusion_num_steps,
+                diffusion_sampler=icfg.diffusion_sampler,
             )
-            self.params = swag_lib.sample_members(
-                swag_state,
-                jax.random.key(icfg.seed),
-                icfg.n_models,
-                max_num_models=self.cfg.eu_method.swag.max_snapshots,
-                scale=icfg.swag_scale,
-                use_low_rank=(eu == "swag"),
-                blockwise=icfg.swag_blockwise,
-                var_clamp=self.cfg.eu_method.swag.min_variance,
-            )
-            member_mode, n_members = "params_stack", icfg.n_models
-        elif eu == "dropout":
-            self.params = params_list[0]
-            member_mode, n_members = "dropout", icfg.n_models
+
+        def expand_eu(built_i, cfg_i, state_i, params_i):
+            """One checkpoint -> (params, member_mode, n_members)."""
+            eu = built_i.eu_type
+            if eu in ("swag", "swag_diag"):
+                swag_raw = state_i.get("swag_state")
+                if swag_raw is None:
+                    raise ValueError("SWAG checkpoint lacks swag_state")
+                swag_state = swag_lib.SwagState(
+                    n_models=jnp.asarray(swag_raw["n_models"]),
+                    mean=swag_raw["mean"],
+                    sq_mean=swag_raw["sq_mean"],
+                    dev=swag_raw.get("dev"),
+                )
+                drawn = swag_lib.sample_members(
+                    swag_state,
+                    jax.random.key(icfg.seed),
+                    icfg.n_models,
+                    max_num_models=cfg_i.eu_method.swag.max_snapshots,
+                    scale=icfg.swag_scale,
+                    use_low_rank=(eu == "swag"),
+                    blockwise=icfg.swag_blockwise,
+                    var_clamp=cfg_i.eu_method.swag.min_variance,
+                )
+                return drawn, "params_stack", icfg.n_models
+            if eu == "dropout":
+                return params_i, "dropout", icfg.n_models
+            return params_i, "single", 1
+
+        # homogeneous multi-checkpoint case: identical structure -> one
+        # stacked params_stack program (fast path)
+        structures = {
+            (c.model.au_type, str(jax.tree.structure(p)))
+            for c, p in zip(configs, params_list)
+        }
+        homogeneous_ensemble = len(params_list) > 1 and len(structures) == 1
+
+        self.sources: list[dict] = []
+        if homogeneous_ensemble:
+            stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *params_list)
+            spec = make_spec(self.built, "params_stack", len(params_list), False)
+            self.sources.append({"built": self.built, "params": stacked, "spec": spec})
+        elif len(params_list) == 1:
+            p, mode, n = expand_eu(self.built, self.cfg, states[0], params_list[0])
+            spec = make_spec(self.built, mode, n, False)
+            self.sources.append({"built": self.built, "params": p, "spec": spec})
         else:
-            self.params = params_list[0]
-            member_mode, n_members = "single", 1
+            # heterogeneous ensemble (reference ensemble grouping of mixed
+            # checkpoints, test_utils.py:296-376): one sampler per source,
+            # groups concatenated. All sources must emit singleton groups so
+            # the combined stack stays rectangular (the reference's
+            # torch.stack has the same constraint); force per-sample
+            # splitting via direct_au semantics.
+            for c_i, s_i, p_i in zip(configs, states, params_list):
+                built_i = build_model(c_i)
+                p, mode, n = expand_eu(built_i, c_i, s_i, p_i)
+                spec = make_spec(built_i, mode, n, True)
+                self.sources.append({"built": built_i, "params": p, "spec": spec})
+
+        for src in self.sources:
+            src["sampler"] = make_sampler(src["built"], src["spec"])
+            src["jit_sampler"] = jax.jit(src["sampler"])
+
+        # combined static meta across sources
+        from ..sampling.sampler import SamplerMeta
+
+        metas_ = [src["sampler"].meta for src in self.sources]
+        sizes = {m.samples_per_group for m in metas_}
+        if len(sizes) != 1:
+            raise ValueError(
+                f"ensemble sources emit incompatible group sizes {sizes}; "
+                "use --direct_au or matching n_pred"
+            )
+        self.meta = SamplerMeta(
+            n_groups=sum(m.n_groups for m in metas_),
+            samples_per_group=sizes.pop(),
+            group_is_generative=tuple(
+                g for m in metas_ for g in m.group_is_generative
+            ),
+        )
+        # backwards-compatible single-source accessors
+        self.built = self.sources[0]["built"] if len(self.sources) == 1 else self.built
+        self.spec = self.sources[0]["spec"]
+        self.sampler = self.sources[0]["sampler"]
+        self.params = self.sources[0]["params"]
+        self._jit_sampler = self.sources[0]["jit_sampler"]
 
         aug = self.cfg.data.augmentations
-        self.spec = SamplerSpec(
-            n_pred=icfg.n_pred,
-            n_members=n_members,
-            member_mode=member_mode,
-            tta=icfg.tta,
-            tta_config=TTAConfig(
-                hflip_p=aug.hflip_p,
-                rotation_limit=aug.rotation_limit,
-                scale_limit=tuple(aug.scale_limit),
-                augment_mult=aug.augment_mult if aug.augment_mult > 0 else 1.0,
-            ),
-            same_dropout=icfg.same_dropout,
-            discretize=icfg.discretize,
-            direct_au=icfg.direct_au,
-            diffusion_num_steps=icfg.diffusion_num_steps,
-            diffusion_sampler=icfg.diffusion_sampler,
-        )
-        self.sampler = make_sampler(self.built, self.spec)
-        self._jit_sampler = jax.jit(self.sampler)
         self.aug_cfg = TrainAugmentConfig(
             mean=tuple(aug.mean), std=tuple(aug.std)
         )
         self.metrics_fn = make_batch_metrics(
             num_classes=self.built.num_classes,
             ignore_index=self.cfg.data.ignore_index,
-            meta=self.sampler.meta,
+            meta=self.meta,
             compute_dice="dice" in icfg.metrics_compute,
             compute_ged="ged" in icfg.metrics_compute,
             compute_ged_bma="ged_bma" in icfg.metrics_compute,
             compute_likelihood=icfg.save_likelihood,
         )
+
+    def _sample_stack(self, images, key):
+        """Run all sources and concatenate their group stacks."""
+        if len(self.sources) == 1:
+            return self._jit_sampler(self.params, images, key)
+        from ..sampling.sampler import PredictionStack
+
+        stacks = [
+            src["jit_sampler"](src["params"], images, jax.random.fold_in(key, i))
+            for i, src in enumerate(self.sources)
+        ]
+        groups = jnp.concatenate([s.groups for s in stacks], axis=0)
+        group_means = jnp.concatenate([s.group_means for s in stacks], axis=0)
+        return PredictionStack(groups, group_means, jnp.mean(group_means, axis=0))
 
     # ---- data -------------------------------------------------------------
 
@@ -192,7 +260,7 @@ class UncertaintyInference:
         for batch in loader:
             rng, key = jax.random.split(rng)
             images = normalize_batch(jnp.asarray(batch["image"]), self.aug_cfg)
-            stack = self._jit_sampler(self.params, images, key)
+            stack = self._sample_stack(images, key)
             gt = jnp.asarray(batch["seg"])
             results = self.metrics_fn(stack, gt, jnp.asarray(batch["num_raters"]))
             results = jax.device_get(results)
@@ -284,7 +352,7 @@ class UncertaintyInference:
             images = normalize_batch(
                 jnp.asarray(sample["image"][None]), self.aug_cfg
             )
-            stack = self._jit_sampler(self.params, images, sub)
+            stack = self._sample_stack(images, sub)
             records.append({
                 "image_id": sample["image_id"],
                 "image": np.asarray(sample["image"]),
@@ -293,4 +361,4 @@ class UncertaintyInference:
                 "mean": np.asarray(stack.mean[0]),
             })
         return {"split": split, "records": records,
-                "group_is_generative": self.sampler.meta.group_is_generative}
+                "group_is_generative": self.meta.group_is_generative}

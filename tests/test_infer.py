@@ -172,3 +172,22 @@ def test_padded_raters_excluded_from_dice_and_nll(toy_dir, tmp_path):
     np.testing.assert_allclose(
         float(res_real["mean_NLL"][0]), float(res_padded["mean_NLL"][0]), atol=1e-6
     )
+
+
+def test_heterogeneous_ensemble(toy_dir, tmp_path):
+    """Mixed checkpoint types (softmax + ssn) combine as singleton groups."""
+    t1 = _train(toy_dir, tmp_path / "h1", model="softmax", eu="none")
+    t2 = _train(toy_dir, tmp_path / "h2", model="ssn", eu="none")
+    icfg = InferenceConfig(n_pred=2, batch_size=4, save_dir=str(tmp_path / "results"))
+    inf = UncertaintyInference(
+        [t1.workdir / "checkpoints" / "last", t2.workdir / "checkpoints" / "last"], icfg
+    )
+    assert len(inf.sources) == 2
+    # softmax member -> 1 singleton group; ssn member -> n_pred singleton groups
+    assert inf.meta.n_groups == 1 + 2
+    assert inf.meta.samples_per_group == 1
+    assert inf.meta.group_is_generative == (False, True, True)
+    summary = inf.run_split("id")
+    assert summary["n_images"] == 6
+    metrics = json.loads((inf.split_dir("id") / "metrics.json").read_text())
+    assert all(np.isfinite(r["metrics"]["dice"]) for r in metrics.values())
