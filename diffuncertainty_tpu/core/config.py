@@ -148,6 +148,7 @@ class DataConfig:
     num_raters: int = 4
     single_rater: bool = False
     evaluate_all_raters: bool = True
+    evaluate_training_data: bool = True  # mirror a train subset at val time
     validation_ratio: float = 0.1
     augmentations: AugmentationsConfig = dataclasses.field(default_factory=AugmentationsConfig)
 

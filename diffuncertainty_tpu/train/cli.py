@@ -99,7 +99,26 @@ def build_loaders(cfg: ExperimentConfig):
         train_ds, cfg.data.batch_size, shuffle=True, seed=cfg.seed, drop_last=True
     )
     val_loader = BatchLoader(val_ds, cfg.data.val_batch_size)
-    return train_loader, val_loader
+    train_eval_loader = None
+    if cfg.data.evaluate_training_data:
+        # mirror a val-sized train subset for train-metric tracking
+        # (reference BaseDataModule evaluate_training_data)
+        mirror = MultiRaterDataset(
+            splits_path, data_dir, split="train",
+            data_fold_id=cfg.data.data_fold_id, return_all_raters=True,
+        )
+        keep = set(train_ds.image_ids[: max(1, len(val_ds))])
+        idxs = [i for i, iid in enumerate(mirror.image_ids) if iid in keep]
+
+        def _take(lst):
+            return [lst[i] for i in idxs]
+
+        mirror.image_paths = _take(mirror.image_paths)
+        mirror.label_paths = _take(mirror.label_paths)
+        mirror.image_ids = _take(mirror.image_ids)
+        mirror.sample_datasets = _take(mirror.sample_datasets)
+        train_eval_loader = BatchLoader(mirror, cfg.data.val_batch_size)
+    return train_loader, val_loader, train_eval_loader
 
 
 def main(argv: list[str] | None = None) -> None:
@@ -107,7 +126,7 @@ def main(argv: list[str] | None = None) -> None:
     np.random.seed(cfg.seed)
     print(f"Experiment: {cfg.auto_exp_name} (seed {cfg.seed})")
     trainer = Trainer(cfg)
-    train_loader, val_loader = build_loaders(cfg)
+    train_loader, val_loader, train_eval_loader = build_loaders(cfg)
 
     resume_state = None
     start_epoch = 0
@@ -141,7 +160,8 @@ def main(argv: list[str] | None = None) -> None:
         )
         print("Loaded weights (fresh optimizer state)")
 
-    trainer.fit(train_loader, val_loader, resume_state=resume_state, start_epoch=start_epoch)
+    trainer.fit(train_loader, val_loader, train_eval_loader=train_eval_loader,
+                resume_state=resume_state, start_epoch=start_epoch)
     print(f"Done. Checkpoints at {trainer.workdir / 'checkpoints'}")
 
 

@@ -321,7 +321,8 @@ class Trainer:
 
     # ---- fit ---------------------------------------------------------------
 
-    def fit(self, train_loader, val_loader=None, *, resume_state: TrainState | None = None,
+    def fit(self, train_loader, val_loader=None, *, train_eval_loader=None,
+            resume_state: TrainState | None = None,
             start_epoch: int = 0) -> TrainState:
         cfg = self.cfg
         t_start = time.time()
@@ -378,6 +379,10 @@ class Trainer:
 
             if val_loader is not None and (epoch + 1) % cfg.trainer.val_every_n_epochs == 0:
                 log.update(self.evaluate(state, val_loader, epoch=epoch))
+                if train_eval_loader is not None:
+                    tm = self.evaluate(state, train_eval_loader, epoch=epoch)
+                    log.update({f"train_eval_{k.removeprefix('val_')}": v
+                                for k, v in tm.items()})
             self._log(log)
 
             if epoch in sched_ckpt_epochs:

@@ -64,10 +64,14 @@ def test_validation_ratio_carving(toy_dir, tmp_path):
         f"data.splits_path={noval}", "data.validation_ratio=0.25",
         "data.batch_size=4",
     ])
-    train_loader, val_loader = build_loaders(cfg)
+    train_loader, val_loader, train_eval_loader = build_loaders(cfg)
     assert len(val_loader.dataset) == 3  # round(12 * 0.25)
     assert len(train_loader.dataset) == 9
     assert not (set(train_loader.dataset.image_ids) & set(val_loader.dataset.image_ids))
+    # evaluate_training_data mirror: val-sized subset of train ids
+    assert train_eval_loader is not None
+    assert len(train_eval_loader.dataset) == 3
+    assert set(train_eval_loader.dataset.image_ids) <= set(train_loader.dataset.image_ids)
 
 
 def test_infer_cli_job_expansion(tmp_path):
