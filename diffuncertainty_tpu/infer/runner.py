@@ -90,7 +90,7 @@ class UncertaintyInference:
 
         params_list = [pick_params(s) for s in states]
 
-        def make_spec(built_i, member_mode, n_members, force_singletons):
+        def make_spec(member_mode, n_members, force_singletons):
             aug = self.cfg.data.augmentations
             return SamplerSpec(
                 n_pred=icfg.n_pred,
@@ -138,59 +138,94 @@ class UncertaintyInference:
                 return params_i, "dropout", icfg.n_models
             return params_i, "single", 1
 
-        # homogeneous multi-checkpoint case: identical structure -> one
-        # stacked params_stack program (fast path)
-        structures = {
-            (c.model.au_type, str(jax.tree.structure(p)))
-            for c, p in zip(configs, params_list)
-        }
-        homogeneous_ensemble = len(params_list) > 1 and len(structures) == 1
+        # multi-checkpoint jobs: the stacked fast path requires identical
+        # architecture (au_type + leaf SHAPES, not just tree structure) AND
+        # trivial EU on every member — a SWAG/dropout checkpoint needs its
+        # own per-source expansion even when the param tree matches
+        def _shape_key(c, p):
+            return (
+                c.model.au_type,
+                c.eu_method.name,
+                str(jax.tree.map(lambda x: tuple(x.shape), p)),
+            )
+
+        all_trivial_eu = all(
+            build_model(c).eu_type in ("none", "ensemble") for c in configs
+        ) if len(params_list) > 1 else True
+        structures = {_shape_key(c, p) for c, p in zip(configs, params_list)}
+        homogeneous_ensemble = (
+            len(params_list) > 1 and len(structures) == 1 and all_trivial_eu
+        )
+
+        if len(params_list) > 1:
+            classes = {c.network.out_channels for c in configs}
+            if len(classes) != 1:
+                raise ValueError(
+                    f"ensemble checkpoints disagree on num_classes: {sorted(classes)}"
+                )
 
         self.sources: list[dict] = []
         if homogeneous_ensemble:
             stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *params_list)
-            spec = make_spec(self.built, "params_stack", len(params_list), False)
+            spec = make_spec("params_stack", len(params_list), False)
             self.sources.append({"built": self.built, "params": stacked, "spec": spec})
         elif len(params_list) == 1:
             p, mode, n = expand_eu(self.built, self.cfg, states[0], params_list[0])
-            spec = make_spec(self.built, mode, n, False)
+            spec = make_spec(mode, n, False)
             self.sources.append({"built": self.built, "params": p, "spec": spec})
         else:
             # heterogeneous ensemble (reference ensemble grouping of mixed
             # checkpoints, test_utils.py:296-376): one sampler per source,
-            # groups concatenated. All sources must emit singleton groups so
-            # the combined stack stays rectangular (the reference's
-            # torch.stack has the same constraint); force per-sample
-            # splitting via direct_au semantics.
-            for c_i, s_i, p_i in zip(configs, states, params_list):
-                built_i = build_model(c_i)
-                p, mode, n = expand_eu(built_i, c_i, s_i, p_i)
-                spec = make_spec(built_i, mode, n, True)
+            # groups concatenated. Group sizes must stay rectangular across
+            # sources: when every member is an n_pred sampler (generative or
+            # TTA'd softmax) and there is more than one such member, keep
+            # per-member groups like the reference's multiple_generative
+            # mode; any plain-softmax member in the mix forces per-sample
+            # singleton groups instead (the reference's torch.stack would
+            # simply crash on that mix).
+            builts = [build_model(c) for c in configs]
+            expanded = [
+                expand_eu(b, c, s, p)
+                for b, c, s, p in zip(builts, configs, states, params_list)
+            ]
+            member_counts = [n for _, _, n in expanded]
+            member_sizes = [
+                icfg.n_pred if (b.is_generative or (b.au_type == "softmax" and icfg.tta)) else 1
+                for b in builts
+            ]
+            gen_members = sum(
+                n for n, sz in zip(member_counts, member_sizes) if sz > 1
+            )
+            uniform_npred = len(set(member_sizes)) == 1 and member_sizes[0] > 1
+            keep_member_groups = uniform_npred and gen_members > 1 and not icfg.direct_au
+            for built_i, (p, mode, n), sz in zip(builts, expanded, member_sizes):
+                spec = make_spec(mode, n, not keep_member_groups)
+                if keep_member_groups:
+                    # sibling generative members count toward the global
+                    # multiple_generative decision inside each sampler
+                    own = n if sz > 1 else 0
+                    spec = dataclasses.replace(
+                        spec, external_generative_members=gen_members - own
+                    )
                 self.sources.append({"built": built_i, "params": p, "spec": spec})
 
         for src in self.sources:
             src["sampler"] = make_sampler(src["built"], src["spec"])
             src["jit_sampler"] = jax.jit(src["sampler"])
 
-        # combined static meta across sources
+        # combined static meta across sources (sizes equal by construction)
         from ..sampling.sampler import SamplerMeta
 
         metas_ = [src["sampler"].meta for src in self.sources]
-        sizes = {m.samples_per_group for m in metas_}
-        if len(sizes) != 1:
-            raise ValueError(
-                f"ensemble sources emit incompatible group sizes {sizes}; "
-                "use --direct_au or matching n_pred"
-            )
+        assert len({m.samples_per_group for m in metas_}) == 1
         self.meta = SamplerMeta(
             n_groups=sum(m.n_groups for m in metas_),
-            samples_per_group=sizes.pop(),
+            samples_per_group=metas_[0].samples_per_group,
             group_is_generative=tuple(
                 g for m in metas_ for g in m.group_is_generative
             ),
         )
         # backwards-compatible single-source accessors
-        self.built = self.sources[0]["built"] if len(self.sources) == 1 else self.built
         self.spec = self.sources[0]["spec"]
         self.sampler = self.sources[0]["sampler"]
         self.params = self.sources[0]["params"]

@@ -54,6 +54,9 @@ class SamplerSpec:
     same_dropout: bool = False
     discretize: bool = False
     direct_au: bool = False
+    external_generative_members: int = 0  # generative members contributed by
+    # sibling samplers in a heterogeneous ensemble; counted into the global
+    # multiple_generative decision (reference test_2D.py:1149-1160)
     diffusion_num_steps: int | None = None  # None -> model default
     diffusion_sampler: str | None = None
 
@@ -172,7 +175,9 @@ def make_sampler(built: BuiltModel, spec: SamplerSpec) -> Callable:
     }[au]
 
     n_members = spec.n_members if spec.member_mode != "single" else 1
-    generative_count = n_members if member_is_generative else 0
+    generative_count = (
+        (n_members if member_is_generative else 0) + spec.external_generative_members
+    )
     multiple_generative = generative_count > 1 and not spec.direct_au
     split_into_singletons = member_is_generative and not multiple_generative
 

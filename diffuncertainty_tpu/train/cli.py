@@ -55,6 +55,14 @@ def parse_args(argv: list[str]) -> tuple[ExperimentConfig, dict]:
     return cfg, special
 
 
+def _subset_dataset(ds: MultiRaterDataset, keep: set[int]) -> None:
+    """Restrict a dataset index in place to the given positions."""
+    ds.image_paths = [p for i, p in enumerate(ds.image_paths) if i in keep]
+    ds.label_paths = [p for i, p in enumerate(ds.label_paths) if i in keep]
+    ds.image_ids = [p for i, p in enumerate(ds.image_ids) if i in keep]
+    ds.sample_datasets = [p for i, p in enumerate(ds.sample_datasets) if i in keep]
+
+
 def build_loaders(cfg: ExperimentConfig):
     data_dir = Path(cfg.data.data_input_dir)
     splits_path = cfg.data.splits_path or (
@@ -84,39 +92,29 @@ def build_loaders(cfg: ExperimentConfig):
         n_val = max(1, int(round(n * cfg.data.validation_ratio)))
         rng = np.random.default_rng(cfg.seed)
         val_idx = set(rng.choice(n, n_val, replace=False).tolist())
-
-        def _subset(ds, keep):
-            ds.image_paths = [p for i, p in enumerate(ds.image_paths) if i in keep]
-            ds.label_paths = [p for i, p in enumerate(ds.label_paths) if i in keep]
-            ds.image_ids = [p for i, p in enumerate(ds.image_ids) if i in keep]
-            ds.sample_datasets = [
-                p for i, p in enumerate(ds.sample_datasets) if i in keep
-            ]
-
-        _subset(val_ds, val_idx)
-        _subset(train_ds, set(range(n)) - val_idx)
+        _subset_dataset(val_ds, val_idx)
+        _subset_dataset(train_ds, set(range(n)) - val_idx)
     train_loader = BatchLoader(
         train_ds, cfg.data.batch_size, shuffle=True, seed=cfg.seed, drop_last=True
     )
     val_loader = BatchLoader(val_ds, cfg.data.val_batch_size)
     train_eval_loader = None
     if cfg.data.evaluate_training_data:
-        # mirror a val-sized train subset for train-metric tracking
-        # (reference BaseDataModule evaluate_training_data)
+        # mirror a RANDOM val-sized train subset for train-metric tracking
+        # (reference BaseDataModule: np.random.permutation subset,
+        # torch_dataloader.py:348)
         mirror = MultiRaterDataset(
             splits_path, data_dir, split="train",
             data_fold_id=cfg.data.data_fold_id, return_all_raters=True,
         )
-        keep = set(train_ds.image_ids[: max(1, len(val_ds))])
-        idxs = [i for i, iid in enumerate(mirror.image_ids) if iid in keep]
-
-        def _take(lst):
-            return [lst[i] for i in idxs]
-
-        mirror.image_paths = _take(mirror.image_paths)
-        mirror.label_paths = _take(mirror.label_paths)
-        mirror.image_ids = _take(mirror.image_ids)
-        mirror.sample_datasets = _take(mirror.sample_datasets)
+        mirror_rng = np.random.default_rng((cfg.seed, 17))
+        train_id_set = set(train_ds.image_ids)
+        candidates = [i for i, iid in enumerate(mirror.image_ids) if iid in train_id_set]
+        n_keep = min(max(1, len(val_ds)), len(candidates))
+        keep_idx = set(
+            int(i) for i in mirror_rng.choice(candidates, n_keep, replace=False)
+        )
+        _subset_dataset(mirror, keep_idx)
         train_eval_loader = BatchLoader(mirror, cfg.data.val_batch_size)
     return train_loader, val_loader, train_eval_loader
 

@@ -191,3 +191,36 @@ def test_heterogeneous_ensemble(toy_dir, tmp_path):
     assert summary["n_images"] == 6
     metrics = json.loads((inf.split_dir("id") / "metrics.json").read_text())
     assert all(np.isfinite(r["metrics"]["dice"]) for r in metrics.values())
+
+
+def test_mixed_eu_same_structure_goes_per_source(toy_dir, tmp_path):
+    """dropout ckpt + plain ckpt (identical trees) must NOT collapse into a
+    raw stacked ensemble — the dropout member needs its EU expansion."""
+    t1 = _train(toy_dir, tmp_path / "e1", eu="dropout")
+    t2 = _train(toy_dir, tmp_path / "e2", eu="none")
+    icfg = InferenceConfig(n_pred=1, n_models=3, batch_size=4,
+                           save_dir=str(tmp_path / "results"))
+    inf = UncertaintyInference(
+        [t1.workdir / "checkpoints" / "last", t2.workdir / "checkpoints" / "last"], icfg
+    )
+    assert len(inf.sources) == 2
+    # dropout source expands to 3 members; plain source is a single member
+    assert inf.meta.n_groups == 3 + 1
+    summary = inf.run_split("id")
+    assert summary["n_images"] == 6
+
+
+def test_generative_ensemble_keeps_member_groups(toy_dir, tmp_path):
+    """Two generative sources with matching n_pred keep per-member groups
+    (the reference's multiple_generative mode)."""
+    t1 = _train(toy_dir, tmp_path / "g1", model="ssn")
+    t2 = _train(toy_dir, tmp_path / "g2", model="prob_unet")
+    icfg = InferenceConfig(n_pred=3, batch_size=4, save_dir=str(tmp_path / "results"))
+    inf = UncertaintyInference(
+        [t1.workdir / "checkpoints" / "last", t2.workdir / "checkpoints" / "last"], icfg
+    )
+    assert len(inf.sources) == 2
+    assert inf.meta.n_groups == 2 and inf.meta.samples_per_group == 3
+    assert inf.meta.group_is_generative == (True, True)
+    summary = inf.run_split("id")
+    assert summary["n_images"] == 6
