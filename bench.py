@@ -44,11 +44,13 @@ from diffuncertainty_tpu.models.factory import build_model
 from diffuncertainty_tpu.ops.entropy import uncertainty_heatmaps
 from diffuncertainty_tpu.sampling import SamplerSpec, TTAConfig, make_sampler
 
-BATCH = 16
-HW = 128
-N_SAMPLES = 16
-KBIG = 9
-REPEATS = 3
+# BENCH_SMOKE=1 shrinks the workload for CI smoke runs (CPU-feasible)
+_SMOKE = os.environ.get("BENCH_SMOKE") == "1"
+BATCH = 4 if _SMOKE else 16
+HW = 32 if _SMOKE else 128
+N_SAMPLES = 4 if _SMOKE else 16
+KBIG = 3 if _SMOKE else 9
+REPEATS = 1 if _SMOKE else 3
 
 
 def slope_time(fn_k, params, images):
@@ -74,9 +76,13 @@ def slope_time(fn_k, params, images):
 
 
 def main():
+    overrides = ["data.batch_size=%d" % BATCH]
+    if _SMOKE:
+        overrides += ["network.model_channels=8", "network.num_res_blocks=[1,1]",
+                      "network.channel_mult=[1,2]", "network.attention_resolutions=[-1]"]
     cfg = load_config(
         data="lidc128", network="unet16", model="softmax", eu_method="dropout",
-        overrides=["data.batch_size=%d" % BATCH],
+        overrides=overrides,
     )
     built = build_model(cfg)
 

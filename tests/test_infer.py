@@ -224,3 +224,23 @@ def test_generative_ensemble_keeps_member_groups(toy_dir, tmp_path):
     assert inf.meta.group_is_generative == (True, True)
     summary = inf.run_split("id")
     assert summary["n_images"] == 6
+
+
+def test_inference_is_deterministic(toy_dir, tmp_path):
+    """Same checkpoint + seed -> byte-identical metrics and heatmaps."""
+    trainer = _train(toy_dir, tmp_path, eu="dropout")
+    ckpt = trainer.workdir / "checkpoints" / "last"
+    outs = []
+    for run in range(2):
+        icfg = InferenceConfig(n_pred=2, n_models=2, batch_size=4, seed=77,
+                               save_dir=str(tmp_path / f"res{run}"))
+        inf = UncertaintyInference([ckpt], icfg)
+        inf.run_split("id")
+        outs.append(inf.split_dir("id"))
+    m0 = (outs[0] / "metrics.json").read_text()
+    m1 = (outs[1] / "metrics.json").read_text()
+    assert m0 == m1
+    for tif in sorted((outs[0] / "TU").glob("*.tif")):
+        a = np.asarray(Image.open(tif))
+        b = np.asarray(Image.open(outs[1] / "TU" / tif.name))
+        np.testing.assert_array_equal(a, b)
