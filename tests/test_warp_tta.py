@@ -65,6 +65,27 @@ def test_rotation_matches_scipy(rng, mode):
     np.testing.assert_allclose(got, ref, atol=1e-4)
 
 
+@pytest.mark.parametrize("mode", ["replicate", "constant"])
+def test_large_translation_far_outside_border(rng, mode):
+    """Sample points >1px outside the image: replicate clamps to the edge
+    pixel, constant fills border_value (pins the patch-gather mask path)."""
+    h = w = 12
+    x = rng.standard_normal((1, h, w, 2)).astype(np.float32)
+    # dst->src translation by (+7.3, -9.6): many dst pixels map far outside
+    m = jnp.asarray([[[1.0, 0.0, 7.3], [0.0, 1.0, -9.6]]])
+    got = np.asarray(warp_affine(jnp.asarray(x), m, border_mode=mode, border_value=0.0))
+
+    mm = np.asarray(m)[0]
+    mat_rc = np.array([[mm[1, 1], mm[1, 0]], [mm[0, 1], mm[0, 0]]])
+    off_rc = np.array([mm[1, 2], mm[0, 2]])
+    for c in range(2):
+        ref = ndi.affine_transform(
+            x[0, :, :, c], mat_rc, offset=off_rc, order=1,
+            mode=("nearest" if mode == "replicate" else "grid-constant"), cval=0.0,
+        )
+        np.testing.assert_allclose(got[0, :, :, c], ref, atol=1e-5)
+
+
 def test_nearest_interpolation_labels(rng):
     labels = rng.integers(0, 5, (1, 12, 12, 1)).astype(np.float32)
     m_fwd = rotation_matrix(jnp.asarray([30.0]), jnp.asarray([1.0]), (5.5, 5.5))
