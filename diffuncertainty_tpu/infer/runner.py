@@ -58,7 +58,7 @@ class InferenceConfig:
     swag_blockwise: bool = False
     data_input_dir: str | None = None
     save_dir: str | None = None
-    version: str = "v0"
+    version: str = "version_0"
 
 
 class UncertaintyInference:

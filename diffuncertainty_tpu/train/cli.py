@@ -52,6 +52,9 @@ def parse_args(argv: list[str]) -> tuple[ExperimentConfig, dict]:
         )
     if os.environ.get("EXPERIMENT_LOCATION"):
         cfg = apply_overrides(cfg, [f"save_dir={os.environ['EXPERIMENT_LOCATION']}"])
+    # cluster job id becomes the run version when unset (main.py:104-105)
+    if cfg.version is None and os.environ.get("LSB_JOBID"):
+        cfg = apply_overrides(cfg, [f"version={os.environ['LSB_JOBID']}"])
     return cfg, special
 
 

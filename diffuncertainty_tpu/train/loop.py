@@ -59,9 +59,18 @@ class Trainer:
         self.workdir = Path(
             workdir
             if workdir is not None
-            else Path(cfg.save_dir) / cfg.auto_exp_name / (cfg.version or "v0")
+            else Path(cfg.save_dir) / cfg.auto_exp_name / str(cfg.version or "version_0")
         )
         self.workdir.mkdir(parents=True, exist_ok=True)
+        # self-describing run dir (reference main.py:138-143 hparams.yaml export)
+        try:
+            import yaml
+
+            (self.workdir / "hparams.yaml").write_text(
+                yaml.safe_dump(cfg.to_dict(), sort_keys=False)
+            )
+        except Exception:  # noqa: BLE001 — best-effort, never block training
+            pass
         self.mesh = make_mesh(tuple(cfg.trainer.mesh_shape), tuple(cfg.trainer.mesh_axis_names)) \
             if int(np.prod(cfg.trainer.mesh_shape)) > 1 else None
 

@@ -39,6 +39,11 @@ def test_train_cli_end_to_end(toy_dir, tmp_path):
     )
     workdir = tmp_path / "cli_test" / "v1"
     assert (workdir / "checkpoints" / "last" / "config.json").exists()
+    # run dir is self-describing (reference hparams.yaml export)
+    import yaml
+
+    hp = yaml.safe_load((workdir / "hparams.yaml").read_text())
+    assert hp["exp_name"] == "cli_test" and hp["data"]["batch_size"] == 4
     logs = [json.loads(l) for l in (workdir / "metrics.jsonl").read_text().splitlines()]
     assert "val_dice" in logs[-1]
 
@@ -49,6 +54,13 @@ def test_train_cli_env_override(toy_dir, tmp_path, monkeypatch):
     cfg, special = parse_args(["data=toy64"])
     assert cfg.data.data_input_dir.endswith("/toy64")
     assert cfg.save_dir == str(tmp_path)
+    # cluster job id becomes the run version when unset
+    monkeypatch.setenv("LSB_JOBID", "424242")
+    cfg2, _ = parse_args(["data=toy64"])
+    assert str(cfg2.version) == "424242"
+    # explicit version wins over the env var
+    cfg3, _ = parse_args(["data=toy64", "version=myrun"])
+    assert cfg3.version == "myrun"
 
 
 def test_validation_ratio_carving(toy_dir, tmp_path):
