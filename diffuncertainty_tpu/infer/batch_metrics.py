@@ -71,9 +71,9 @@ def make_batch_metrics(
         ged_ign = ignore_index if (ignore_index is not None and ignore_index >= 0) else None
         if compute_ged_bma:
             if binary:
-                bma = ged_binary(group_means, gt, ignore_index=ged_ign)
+                bma = ged_binary(group_means, gt, ignore_index=ged_ign, n_raters=n_raters)
             else:
-                bma = ged_multiclass(group_means, gt, num_classes, ged_ign)
+                bma = ged_multiclass(group_means, gt, num_classes, ged_ign, n_raters=n_raters)
             out["ged_bma"] = bma["ged"]
             out["max_dice_pred"] = bma["max_dice_pred"]
             out["max_dice_gt"] = bma["max_dice_gt"]
@@ -81,8 +81,8 @@ def make_batch_metrics(
         if compute_ged:
             def one_group(g_probs):
                 if binary:
-                    return ged_binary(g_probs, gt, ignore_index=ged_ign)["ged"]
-                return ged_multiclass(g_probs, gt, num_classes, ged_ign)["ged"]
+                    return ged_binary(g_probs, gt, ignore_index=ged_ign, n_raters=n_raters)["ged"]
+                return ged_multiclass(g_probs, gt, num_classes, ged_ign, n_raters=n_raters)["ged"]
 
             out["ged"] = jnp.mean(jax.vmap(one_group)(group_probs))
 
@@ -133,9 +133,8 @@ def make_batch_metrics(
         gm = jnp.moveaxis(stack.group_means, 1, 0)  # (B,G,H,W,C)
         if num_raters is None:
             num_raters = jnp.full((gt.shape[0],), gt.shape[1], jnp.int32)
-        # NOTE: GED terms still use the full padded rater axis; for datasets
-        # with uniform rater counts (everything except combined_* schemas)
-        # padding never occurs and GED is exact.
+        # dice/NLL means and all GED terms mask collate-padded raters via
+        # num_raters (combined_* variable-rater schemas; metrics/ged.py)
         return jax.vmap(per_image)(gp, gm, stack.mean, gt, num_raters)
 
     return jax.jit(fn)

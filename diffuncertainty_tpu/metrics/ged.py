@@ -14,6 +14,13 @@ Provenance and conventions:
 The reference computes the multiclass dice matrix with a Python double loop
 of CPU calls; here each term is one einsum over one-hot encodings — shaped to
 land on the MXU.
+
+Padded raters: combined variable-rater datasets pad the rater axis with
+all-zero masks at collate time (``data/lidc2d_dataset.py:31-86``). Both
+functions take ``n_raters`` (true per-image rater count); raters at index
+>= n_raters are excluded from every GT-involving term (pred-gt mean, gt-gt
+mean, max-dice reductions, majority vote). ``n_raters=None`` keeps the full
+axis (uniform-rater datasets, where padding never occurs).
 """
 
 from __future__ import annotations
@@ -22,6 +29,15 @@ import jax.numpy as jnp
 from jax import lax
 
 _F32 = jnp.float32
+
+
+def _rater_weights(n_gt: int, n_raters) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(w, sum_w): w (G,) float 1.0 for true raters, 0.0 for padding."""
+    if n_raters is None:
+        w = jnp.ones((n_gt,), _F32)
+    else:
+        w = (jnp.arange(n_gt) < n_raters).astype(_F32)
+    return w, jnp.maximum(jnp.sum(w), 1.0)
 
 
 def _dice_from_counts(tp, pred_sum, gt_sum):
@@ -36,8 +52,12 @@ def ged_binary(
     output_softmax: jnp.ndarray,
     ground_truth: jnp.ndarray,
     ignore_index: int | None = None,
+    n_raters=None,
 ) -> dict[str, jnp.ndarray]:
     """Binary GED from a (P, H, W, 2) softmax stack and (G, H, W) rater labels.
+
+    ``n_raters``: optional scalar true-rater count; raters beyond it are
+    zero-padding from the combined-schema collate and are masked out.
 
     Returns dict with scalar jnp values: ged, dice, max_dice_pred,
     max_dice_gt, major_dice, and the (P, G) dice_matrix.
@@ -45,6 +65,7 @@ def ged_binary(
     assert output_softmax.ndim == 4 and output_softmax.shape[-1] == 2
     p = output_softmax.shape[0]
     gt = ground_truth
+    rw, rn = _rater_weights(gt.shape[0], n_raters)  # (G,), scalar
     pred_idx = jnp.argmax(output_softmax, axis=-1)  # (P, H, W)
 
     if ignore_index is None:
@@ -59,7 +80,7 @@ def ged_binary(
     pred_sum = jnp.sum(pred_pos, axis=(2, 3)).astype(_F32)
     gt_sum = jnp.sum(gt_pos, axis=(2, 3)).astype(_F32)
     dice_pg = _dice_from_counts(tp, pred_sum, gt_sum)
-    dist_gt_pred_2 = jnp.mean(1.0 - dice_pg)
+    dist_gt_pred_2 = jnp.sum((1.0 - dice_pg) * rw[None]) / (p * rn)
 
     # ---- pred-pred via Gram matrix (no mask; empty pairs -> dice 1) ----
     f = (pred_idx == 1).reshape(p, -1).astype(_F32)
@@ -78,16 +99,16 @@ def ged_binary(
     gtj_sum = jnp.sum(gtj_self, axis=(1, 2)).astype(_F32)[:, None]
     denom_g = gi_sum + gtj_sum
     dice_g = jnp.where(denom_g > 0, 2.0 * tp_g / jnp.where(denom_g > 0, denom_g, 1.0), 1.0)
-    dist_gt_gt_2 = jnp.mean(1.0 - dice_g)
+    dist_gt_gt_2 = jnp.sum((1.0 - dice_g) * rw[:, None] * rw[None, :]) / (rn * rn)
 
     ged = 2.0 * dist_gt_pred_2 - dist_pred_pred_2 - dist_gt_gt_2
 
     # ---- major dice ----
     majority_pred = jnp.argmax(jnp.mean(output_softmax, axis=0), axis=-1)
-    pos_frac = jnp.mean((gt == 1).astype(_F32), axis=0)
+    pos_frac = jnp.sum((gt == 1).astype(_F32) * rw[:, None, None], axis=0) / rn
     majority_gt = (pos_frac >= 0.5).astype(jnp.int32)
     if ignore_index is not None:
-        valid_all = jnp.all(gt != ignore_index, axis=0)
+        valid_all = jnp.all((gt != ignore_index) | (rw[:, None, None] == 0), axis=0)
     else:
         valid_all = jnp.ones_like(majority_gt, dtype=jnp.bool_)
     mp = (majority_pred == 1) & valid_all
@@ -99,9 +120,9 @@ def ged_binary(
 
     return {
         "ged": ged,
-        "dice": jnp.mean(dice_pg),
-        "max_dice_pred": jnp.mean(jnp.max(dice_pg, axis=1)),
-        "max_dice_gt": jnp.mean(jnp.max(dice_pg, axis=0)),
+        "dice": jnp.sum(dice_pg * rw[None]) / (p * rn),
+        "max_dice_pred": jnp.mean(jnp.max(jnp.where(rw[None] > 0, dice_pg, -jnp.inf), axis=1)),
+        "max_dice_gt": jnp.sum(jnp.max(dice_pg, axis=0) * rw) / rn,
         "major_dice": major_dice,
         "dice_matrix": dice_pg,
     }
@@ -112,14 +133,17 @@ def ged_multiclass(
     ground_truth: jnp.ndarray,
     num_classes: int,
     ignore_index: int | None = 0,
+    n_raters=None,
 ) -> dict[str, jnp.ndarray]:
     """Multiclass GED from (P, H, W, C) softmax and (G, H, W) labels.
 
     Pairwise distance is 1 - micro Dice, which for full-class micro averaging
     equals accuracy over the target's valid pixels (see metrics/dice.py).
+    ``n_raters`` masks collate-padded raters as in :func:`ged_binary`.
     """
     p = output_softmax.shape[0]
     g = ground_truth.shape[0]
+    rw, rn = _rater_weights(g, n_raters)
     pred_idx = jnp.argmax(output_softmax, axis=-1)  # (P,H,W)
     gt = ground_truth
 
@@ -142,7 +166,7 @@ def ged_multiclass(
     )
     n_valid = jnp.sum(valid_flat, axis=1)  # (G,)
     dice_pg = jnp.where(n_valid[None] > 0, agree / jnp.where(n_valid[None] > 0, n_valid[None], 1.0), 1.0)
-    dist_gt_pred_2 = jnp.mean(1.0 - dice_pg)
+    dist_gt_pred_2 = jnp.sum((1.0 - dice_pg) * rw[None]) / (p * rn)
 
     # pred-pred accuracy, no mask
     oh_pred = jax_one_hot(pred_flat, num_classes)
@@ -156,7 +180,9 @@ def ged_multiclass(
         "inc,jnc->ij", oh_gt, oh_gt * valid_flat[..., None], precision=lax.Precision.HIGHEST
     )
     dice_gg = jnp.where(n_valid[None] > 0, agree_gg / jnp.where(n_valid[None] > 0, n_valid[None], 1.0), 1.0)
-    dist_gt_gt_2 = jnp.where(g > 1, jnp.mean(1.0 - dice_gg), 0.0)
+    dist_gt_gt_2 = jnp.where(
+        g > 1, jnp.sum((1.0 - dice_gg) * rw[:, None] * rw[None, :]) / (rn * rn), 0.0
+    )
 
     ged = 2.0 * dist_gt_pred_2 - dist_pred_pred_2 - dist_gt_gt_2
 
@@ -165,7 +191,7 @@ def ged_multiclass(
     # which masks pixels where the MAJORITY label equals the ignore value
     # (test_utils.py:817-827 -> dice_wrapped ignore semantics)
     majority_pred = jnp.argmax(jnp.mean(output_softmax, axis=0), axis=-1)
-    counts = jnp.sum(jax_one_hot(gt, num_classes), axis=0)  # (H,W,C)
+    counts = jnp.sum(jax_one_hot(gt, num_classes) * rw[:, None, None, None], axis=0)  # (H,W,C)
     majority_gt = jnp.argmax(counts, axis=-1)
     if ignore_index is not None:
         valid_m = majority_gt != ignore_index
@@ -177,9 +203,9 @@ def ged_multiclass(
 
     return {
         "ged": ged,
-        "dice": jnp.mean(dice_pg),
-        "max_dice_pred": jnp.mean(jnp.max(dice_pg, axis=1)),
-        "max_dice_gt": jnp.mean(jnp.max(dice_pg, axis=0)),
+        "dice": jnp.sum(dice_pg * rw[None]) / (p * rn),
+        "max_dice_pred": jnp.mean(jnp.max(jnp.where(rw[None] > 0, dice_pg, -jnp.inf), axis=1)),
+        "max_dice_gt": jnp.sum(jnp.max(dice_pg, axis=0) * rw) / rn,
         "major_dice": major_dice,
         "dice_matrix": dice_pg,
     }

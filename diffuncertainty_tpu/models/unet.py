@@ -71,7 +71,8 @@ def _act_fn(name: str):
 _PAD3 = ((1, 1), (1, 1))  # torch Conv2d(k=3, padding=1) semantics for any stride
 
 
-def conv3x3(features: int, *, strides: int = 1, zero_init: bool = False, name=None):
+def conv3x3(features: int, *, strides: int = 1, zero_init: bool = False, name=None,
+            dtype=None):
     init = nn.initializers.zeros_init() if zero_init else nn.initializers.lecun_normal()
     return nn.Conv(
         features,
@@ -80,12 +81,14 @@ def conv3x3(features: int, *, strides: int = 1, zero_init: bool = False, name=No
         padding=_PAD3,
         kernel_init=init,
         name=name,
+        dtype=dtype,
     )
 
 
-def conv1x1(features: int, *, zero_init: bool = False, name=None):
+def conv1x1(features: int, *, zero_init: bool = False, name=None, dtype=None):
     init = nn.initializers.zeros_init() if zero_init else nn.initializers.lecun_normal()
-    return nn.Conv(features, (1, 1), padding="VALID", kernel_init=init, name=name)
+    return nn.Conv(features, (1, 1), padding="VALID", kernel_init=init, name=name,
+                   dtype=dtype)
 
 
 class GroupNorm32(nn.Module):
@@ -129,6 +132,7 @@ class ResBlock(nn.Module):
     act: str = "silu"
     per_block: bool = True
     residual_dropout: float = 0.0
+    dtype: Any = None  # compute dtype for convs/denses (params stay fp32)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, emb: jnp.ndarray | None = None) -> jnp.ndarray:
@@ -138,36 +142,36 @@ class ResBlock(nn.Module):
         h = act(h)
         if (not self.per_block) and self.dropout > 0.0:
             h = ChannelDropout(self.dropout, name="in_dropout")(h)
-        h = conv3x3(self.out_channels, name="in_conv")(h)
+        h = conv3x3(self.out_channels, name="in_conv", dtype=self.dtype)(h)
 
         if emb is not None:
             emb_dim = 2 * self.out_channels if self.use_scale_shift_norm else self.out_channels
-            emb_out = nn.Dense(emb_dim, name="emb_proj")(act(emb)).astype(h.dtype)
+            emb_out = nn.Dense(emb_dim, name="emb_proj", dtype=self.dtype)(act(emb)).astype(h.dtype)
             emb_out = emb_out[:, None, None, :]
             if self.use_scale_shift_norm:
                 scale, shift = jnp.split(emb_out, 2, axis=-1)
                 h = GroupNorm32(name="out_norm")(h) * (1 + scale) + shift
                 h = act(h)
                 h = ChannelDropout(self.dropout, name="out_dropout")(h)
-                h = conv3x3(self.out_channels, zero_init=True, name="out_conv")(h)
+                h = conv3x3(self.out_channels, zero_init=True, name="out_conv", dtype=self.dtype)(h)
             else:
                 h = h + emb_out
                 h = GroupNorm32(name="out_norm")(h)
                 h = act(h)
                 h = ChannelDropout(self.dropout, name="out_dropout")(h)
-                h = conv3x3(self.out_channels, zero_init=True, name="out_conv")(h)
+                h = conv3x3(self.out_channels, zero_init=True, name="out_conv", dtype=self.dtype)(h)
         else:
             h = GroupNorm32(name="out_norm")(h)
             h = act(h)
             h = ChannelDropout(self.dropout, name="out_dropout")(h)
-            h = conv3x3(self.out_channels, zero_init=True, name="out_conv")(h)
+            h = conv3x3(self.out_channels, zero_init=True, name="out_conv", dtype=self.dtype)(h)
 
         if self.out_channels == c_in:
             skip = x
         elif self.use_conv_skip:
-            skip = conv3x3(self.out_channels, name="skip_conv")(x)
+            skip = conv3x3(self.out_channels, name="skip_conv", dtype=self.dtype)(x)
         else:
-            skip = conv1x1(self.out_channels, name="skip_conv")(x)
+            skip = conv1x1(self.out_channels, name="skip_conv", dtype=self.dtype)(x)
         skip = ChannelDropout(self.residual_dropout, name="residual_dropout")(skip)
         return skip + h
 
@@ -180,6 +184,7 @@ class MLPBlock(nn.Module):
     dropout: float = 0.0
     use_scale_shift_norm: bool = False
     act: str = "silu"
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, emb: jnp.ndarray | None = None) -> jnp.ndarray:
@@ -187,11 +192,11 @@ class MLPBlock(nn.Module):
         c_in = x.shape[-1]
         c = self.expansion_factor * c_in
         h = GroupNorm32(name="in_norm")(x)
-        h = conv1x1(c, name="in_conv")(h)
+        h = conv1x1(c, name="in_conv", dtype=self.dtype)(h)
         h = act(h)
         if emb is not None:
             emb_dim = 2 * c if self.use_scale_shift_norm else c
-            emb_out = nn.Dense(emb_dim, name="emb_proj")(emb).astype(h.dtype)
+            emb_out = nn.Dense(emb_dim, name="emb_proj", dtype=self.dtype)(emb).astype(h.dtype)
             emb_out = emb_out[:, None, None, :]
             if self.use_scale_shift_norm:
                 scale, shift = jnp.split(emb_out, 2, axis=-1)
@@ -199,11 +204,11 @@ class MLPBlock(nn.Module):
             else:
                 h = h + emb_out
         h = ChannelDropout(self.dropout, name="dropout")(h)
-        h = conv1x1(self.out_channels, name="out_conv")(h)
+        h = conv1x1(self.out_channels, name="out_conv", dtype=self.dtype)(h)
         if self.out_channels == c_in:
             skip = x
         else:
-            skip = conv1x1(self.out_channels, name="skip_conv")(x)
+            skip = conv1x1(self.out_channels, name="skip_conv", dtype=self.dtype)(x)
         return skip + h
 
 
@@ -211,15 +216,17 @@ class AttentionBlock(nn.Module):
     """Spatial self-attention, reference ``diff_unet2D_module.py:758-822``."""
 
     num_heads: int = 1
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         b, hh, ww, c = x.shape
         xt = x.reshape(b, hh * ww, c)
         normed = GroupNorm32(name="norm")(xt)
-        qkv = nn.Dense(3 * c, name="qkv")(normed)
+        qkv = nn.Dense(3 * c, name="qkv", dtype=self.dtype)(normed)
         h = qkv_attention(qkv, self.num_heads)
-        h = nn.Dense(c, kernel_init=nn.initializers.zeros_init(), name="proj_out")(h)
+        h = nn.Dense(c, kernel_init=nn.initializers.zeros_init(), name="proj_out",
+                     dtype=self.dtype)(h)
         return (xt + h).reshape(b, hh, ww, c)
 
 
@@ -228,15 +235,16 @@ class Downsample(nn.Module):
 
     use_conv: bool
     channels_out: int | None = None
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         if self.use_conv:
-            x = conv3x3(x.shape[-1], strides=2, name="op")(x)
+            x = conv3x3(x.shape[-1], strides=2, name="op", dtype=self.dtype)(x)
         else:
             x = downsample_avgpool2x(x)
         if self.channels_out is not None and self.channels_out != x.shape[-1]:
-            x = conv1x1(self.channels_out, name="channel_mapper")(x)
+            x = conv1x1(self.channels_out, name="channel_mapper", dtype=self.dtype)(x)
         return x
 
 
@@ -246,14 +254,15 @@ class Upsample(nn.Module):
     use_conv: bool
     channels_out: int | None = None
     mode: str = "nearest"
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         if self.channels_out is not None and self.channels_out != x.shape[-1]:
-            x = conv1x1(self.channels_out, name="channel_mapper")(x)
+            x = conv1x1(self.channels_out, name="channel_mapper", dtype=self.dtype)(x)
         x = upsample2x(x, method=self.mode)
         if self.use_conv:
-            x = conv3x3(x.shape[-1], name="conv")(x)
+            x = conv3x3(x.shape[-1], name="conv", dtype=self.dtype)(x)
         return x
 
 
@@ -331,9 +340,9 @@ class DiffUnet(nn.Module):
             if t.ndim == 0:
                 t = jnp.broadcast_to(t, (x.shape[0],))
             emb = timestep_embedding(t, mc)
-            emb = nn.Dense(4 * mc, name="time_embed_0")(emb)
+            emb = nn.Dense(4 * mc, name="time_embed_0", dtype=self.dtype)(emb)
             emb = act(emb)
-            emb = nn.Dense(4 * mc, name="time_embed_1")(emb)
+            emb = nn.Dense(4 * mc, name="time_embed_1", dtype=self.dtype)(emb)
         else:
             if timesteps is not None:
                 raise ValueError("timesteps must be None when diffusion=False")
@@ -349,6 +358,7 @@ class DiffUnet(nn.Module):
                 act=self.act,
                 per_block=spec.per_block,
                 residual_dropout=rate if spec.residual_connections else 0.0,
+                dtype=self.dtype,
             )
 
         def make_block(ch_out: int, stage: str, depth: int, heads: int, name: str):
@@ -358,11 +368,12 @@ class DiffUnet(nn.Module):
             if depth in attn_res and self.mlp_attn:
                 layers.append(MLPBlock(ch_out, dropout=kw["dropout"],
                                        use_scale_shift_norm=self.use_scale_shift_norm,
-                                       act=self.act, name=f"{name}_mlp"))
+                                       act=self.act, name=f"{name}_mlp",
+                                       dtype=self.dtype))
             else:
                 layers.append(ResBlock(ch_out, name=f"{name}_res", **kw))
             if depth in attn_res:
-                layers.append(AttentionBlock(heads, name=f"{name}_attn"))
+                layers.append(AttentionBlock(heads, name=f"{name}_attn", dtype=self.dtype))
             return layers
 
         def apply_layers(layers, h, emb):
@@ -376,7 +387,7 @@ class DiffUnet(nn.Module):
             return h
 
         # --- encoder --------------------------------------------------------
-        h = conv3x3(mc, name="input_conv")(h)
+        h = conv3x3(mc, name="input_conv", dtype=self.dtype)(h)
         hs: list = []
         skip_flags: list[bool] = [False]
         hs_pending = [h]
@@ -398,7 +409,7 @@ class DiffUnet(nn.Module):
                           if self.new_upsample_method else None)
                 skip_flags[-1] = True
                 h = Downsample(self.use_downsample_conv, channels_out=ch_out,
-                               name=f"down{resolution}")(h)
+                               name=f"down{resolution}", dtype=self.dtype)(h)
                 hs_pending.append(h)
                 skip_flags.append(False)
 
@@ -423,7 +434,8 @@ class DiffUnet(nn.Module):
                 h = MLPBlock(ch, dropout=kw["dropout"],
                              use_scale_shift_norm=self.use_scale_shift_norm,
                              act=self.act,
-                             name=f"mid{self.num_middle_res_blocks - 1}_mlp")(h, emb)
+                             name=f"mid{self.num_middle_res_blocks - 1}_mlp",
+                             dtype=self.dtype)(h, emb)
             else:
                 h = ResBlock(ch, name=f"mid{self.num_middle_res_blocks - 1}_res", **kw)(h, emb)
         else:
@@ -468,6 +480,7 @@ class DiffUnet(nn.Module):
                         channels_out=ch_out,
                         mode="bilinear" if self.new_upsample_method else "nearest",
                         name=f"up{resolution}",
+                        dtype=self.dtype,
                     )(h)
                 block_idx += 1
 

@@ -135,6 +135,167 @@ def warp_affine(
     return out
 
 
+def warp_affine_separable(
+    images: jnp.ndarray,
+    dst_to_src: jnp.ndarray,
+    *,
+    border_mode: str = "replicate",
+    border_value: float = 0.0,
+    margin_x: int | None = None,
+    margin_y: int | None = None,
+) -> jnp.ndarray:
+    """Two-pass (separable) bilinear affine warp of (B, H, W, C) images.
+
+    TPU-fast alternative to :func:`warp_affine`: instead of one gather with a
+    (2,2,C)-patch payload per output pixel (4.2M descriptors for a 256x128^2
+    stack, descriptor-bound at C=2/3 minor-axis payloads — 23% of the round-1
+    inference profile), the warp is decomposed Catmull/Smith-style into an
+    X pass then a Y pass. Each 1-D pass splits into
+
+    - a per-image *scale* resample expressed as a small batched matmul with a
+      bilinear interpolation matrix (rides the MXU), widened by a static
+      ``margin`` so every translated sample point stays in range, and
+    - a per-row *fractional translation*: one contiguous row-slice gather
+      (descriptors per row, full-lane payloads) plus a two-tap lerp.
+
+    Derivation: with dst->src map ``[[m00,m01,m02],[m10,m11,m12]]`` (xy
+    convention, as cv2), ``out[v,u] = in(m10*u + m11*v + m12, m00*u + m01*v
+    + m02)`` factors as an X pass ``tmp[y,u] = in(y, sA*u + cA(y))`` with
+    ``sA = m00 - m01*m10/m11``, ``cA(y) = (m01/m11)*y + m02 - m01*m12/m11``
+    followed by a Y pass ``out[v,u] = tmp(m11*v + m10*u + m12, u)``.
+    Requires ``|m11| > 0`` (rotations away from 90°; always true for TTA).
+
+    Semantics vs :func:`warp_affine`:
+    - each pass interpolates bilinearly, so the result is a *double*
+      interpolation — matching the reference's sequential cv2 warps
+      (``test_2D.py:174-288`` replays one warp per recorded transform) rather
+      than the single composed resample; exact when either pass is
+      integer-aligned (identity, flips, integer shifts).
+    - ``constant`` border (only ``border_value=0.0`` supported): out-of-range
+      taps contribute exact zero weight in each pass, reproducing
+      zero-padding semantics exactly.
+    - ``replicate``: source coordinates are clamped per pass, which is the
+      same separable clamping the single-pass warp applies to sx/sy.
+
+    ``margin_x/y`` bound ``|cA/sA|`` / ``|cB/sB|`` (the per-row translation
+    in pixels). They must be static ints; defaults of W and H are always
+    safe for warps that keep the image in frame. TTA computes tight bounds
+    from its static config (``sampling/tta.py``).
+    """
+    b, h, w, c = images.shape
+    if border_mode == "constant" and border_value != 0.0:
+        raise NotImplementedError("separable constant border supports value 0 only")
+    if border_mode not in ("constant", "replicate"):
+        raise NotImplementedError(border_mode)
+    replicate = border_mode == "replicate"
+    orig_dtype = images.dtype
+
+    m = dst_to_src.astype(jnp.float32)
+    m00, m01, m02 = m[:, 0, 0], m[:, 0, 1], m[:, 0, 2]
+    m10, m11, m12 = m[:, 1, 0], m[:, 1, 1], m[:, 1, 2]
+    s_a = m00 - m01 * m10 / m11
+    off0_a = m02 - m01 * m12 / m11
+    slope_a = m01 / m11
+    s_b = m11
+    off0_b = m12
+    slope_b = m10
+
+    e_x = int(margin_x) if margin_x is not None else w
+    e_y = int(margin_y) if margin_y is not None else h
+
+    x = jnp.transpose(images.astype(jnp.float32), (0, 3, 1, 2))  # (B,C,H,W)
+    # X pass: rows are (c, y); per-row offset varies with y
+    rows = x.reshape(b, c * h, w)
+    rows = _resample_rows_1d(rows, s_a, off0_a, slope_a, n_rep=c, n_rows=h,
+                             margin=e_x, replicate=replicate, l_out=w)
+    # Y pass on the transposed tensor: rows are (c, u); offsets vary with u
+    xt = jnp.transpose(rows.reshape(b, c, h, w), (0, 1, 3, 2))  # (B,C,W,H)
+    rows = xt.reshape(b, c * w, h)
+    rows = _resample_rows_1d(rows, s_b, off0_b, slope_b, n_rep=c, n_rows=w,
+                             margin=e_y, replicate=replicate, l_out=h)
+    out = jnp.transpose(rows.reshape(b, c, w, h), (0, 3, 2, 1))  # (B,H,W,C)
+    if not replicate:
+        # Exact far-outside zeroing (same rule as warp_affine): the scaled
+        # translate taps are spaced |s| apart, which would otherwise bleed
+        # edge values up to 1 px past the frame.
+        gy, gx = jnp.meshgrid(
+            jnp.arange(h, dtype=jnp.float32), jnp.arange(w, dtype=jnp.float32),
+            indexing="ij",
+        )
+        sx = m00[:, None, None] * gx + m01[:, None, None] * gy + m02[:, None, None]
+        sy = m10[:, None, None] * gx + m11[:, None, None] * gy + m12[:, None, None]
+        x0 = jnp.floor(sx)
+        y0 = jnp.floor(sy)
+        far = (x0 < -1) | (x0 >= w) | (y0 < -1) | (y0 >= h)
+        out = jnp.where(far[..., None], 0.0, out)
+    return out.astype(orig_dtype)
+
+
+def _resample_rows_1d(
+    rows: jnp.ndarray,
+    scale: jnp.ndarray,
+    off0: jnp.ndarray,
+    off_slope: jnp.ndarray,
+    *,
+    n_rep: int,
+    n_rows: int,
+    margin: int,
+    replicate: bool,
+    l_out: int,
+) -> jnp.ndarray:
+    """Per-row 1-D affine resample: out[b,r,u] = rows[b,r](scale_b*u + off_b(row)).
+
+    rows (B, n_rep*n_rows, L_in) with row index r = rep*n_rows + row;
+    off_b(row) = off0_b + off_slope_b*row. Scale first (interpolation-matrix
+    matmul over a margin-widened output), then per-row fractional translation
+    by off/scale (contiguous slice gather + 2-tap lerp).
+    """
+    b, r, l_in = rows.shape
+    e = margin
+    mid = l_out + 2 * e
+    # Absorb the per-image center-row offset into the interpolation matrix
+    # (it is traced per-image anyway), so the per-row gather shift carries
+    # only the residual off_slope*(row - center)/scale — this keeps the
+    # static margin small even for flips, whose offsets are ~W.
+    off_mid = off0 + off_slope * ((n_rows - 1) / 2.0)  # (B,)
+    j = jnp.arange(mid, dtype=jnp.float32)
+    coord = scale[:, None] * (j[None] - e) + off_mid[:, None]  # (B, mid)
+    if replicate:
+        coord = jnp.clip(coord, 0.0, l_in - 1.0)
+    wk = jnp.arange(l_in, dtype=jnp.float32)
+    # (B, L_in, mid) bilinear weights; out-of-range coords get all-zero columns
+    kmat = jnp.maximum(0.0, 1.0 - jnp.abs(coord[:, None, :] - wk[None, :, None]))
+    sc = jnp.einsum("brw,bwj->brj", rows, kmat)  # (B, R, mid)
+
+    row_idx = jnp.arange(n_rows, dtype=jnp.float32)
+    residual = off_slope[:, None] * (row_idx[None] - (n_rows - 1) / 2.0)
+    shift = residual / scale[:, None]  # (B, n_rows)
+    shift = jnp.broadcast_to(shift[:, None, :], (b, n_rep, n_rows)).reshape(b, r)
+    k = jnp.floor(shift)
+    frac = (shift - k)[..., None]
+    starts = k.astype(jnp.int32) + e  # (B, R); CLIP clamps bound violations
+    sl = _gather_row_slices(sc, starts, l_out + 1)
+    return (1.0 - frac) * sl[..., :l_out] + frac * sl[..., 1:]
+
+
+def _gather_row_slices(x: jnp.ndarray, starts: jnp.ndarray, length: int) -> jnp.ndarray:
+    """x (B, R, L), starts (B, R) -> (B, R, length) contiguous row slices."""
+    out = jax.lax.gather(
+        x,
+        starts[..., None],
+        jax.lax.GatherDimensionNumbers(
+            offset_dims=(2,),
+            collapsed_slice_dims=(),
+            start_index_map=(2,),
+            operand_batching_dims=(0, 1),
+            start_indices_batching_dims=(0, 1),
+        ),
+        slice_sizes=(1, 1, length),
+        mode=jax.lax.GatherScatterMode.CLIP,
+    )
+    return out
+
+
 def _gather2d(images: jnp.ndarray, iy: jnp.ndarray, ix: jnp.ndarray) -> jnp.ndarray:
     """images (B,H,W,C), iy/ix (B,H,W) -> (B,H,W,C)."""
     b, h, w, c = images.shape

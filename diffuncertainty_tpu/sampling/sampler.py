@@ -54,6 +54,9 @@ class SamplerSpec:
     same_dropout: bool = False
     discretize: bool = False
     direct_au: bool = False
+    flat_fold: bool = True  # fold (member, sample) rounds into the batch axis
+    # for shared-param members (TPU-fast, distributionally identical; see the
+    # flat-row-path note in make_sampler). False -> nested-vmap structure.
     external_generative_members: int = 0  # generative members contributed by
     # sibling samplers in a heterogeneous ensemble; counted into the global
     # multiple_generative decision (reference test_2D.py:1149-1160)
@@ -175,6 +178,94 @@ def make_sampler(built: BuiltModel, spec: SamplerSpec) -> Callable:
     }[au]
 
     n_members = spec.n_members if spec.member_mode != "single" else 1
+
+    # ---- flat row path: fold (member, sample) into the batch axis ----------
+    # Shared-parameter members (MC-dropout replicas / TTA rounds / fresh
+    # trajectories) differ only by PRNG draws, and every stochastic op in the
+    # stack (ChannelDropout masks, TTA params, SSN/prob-unet/diffusion noise)
+    # draws independently per batch row. Folding M*S rounds into one big batch
+    # is therefore distributionally identical to nested vmaps, but hands XLA a
+    # plain 4-D NHWC program — no 6-D (M,S,B,...) tensors, whose awkward tiled
+    # layouts caused the data-formatting copies in the round-1 device profile.
+    # vmap is kept where it is semantically required: stacked params
+    # (params_stack) and per-member mask reuse (same_dropout).
+
+    def _tile_rows(images, rows):
+        b = images.shape[0]
+        tiled = jnp.broadcast_to(images[None], (rows,) + images.shape)
+        return tiled.reshape((rows * b,) + images.shape[1:])
+
+    def flat_softmax(params, rng, images):
+        b, h, w, _ = images.shape
+        rows = n_members * samples_per_member
+        k_drop, k_tta = jax.random.split(rng)
+        x = _tile_rows(images, rows)
+        tta_params = None
+        if spec.tta:
+            tta_params = sample_tta_params(spec.tta_config, k_tta, rows * b, h, w)
+            x = apply_tta(x, tta_params)
+        logits = _apply(params, x, dropout_key=k_drop).logits
+        probs = jax.nn.softmax(logits, axis=-1)
+        if spec.tta:
+            probs = invert_tta(probs, tta_params)
+        return probs.reshape(n_members, samples_per_member, b, h, w, probs.shape[-1])
+
+    def flat_ssn(params, rng, images):
+        b, h, w, _ = images.shape
+        kd, ks = jax.random.split(rng)
+        out = _apply(params, _tile_rows(images, n_members), dropout_key=kd)
+        dist = ssn_lib.build_distribution(out.ssn_mean, out.ssn_cov_diag, out.ssn_cov_factor)
+        flat = ssn_lib.sample_n(dist, ks, n_pred)  # (S, M*B, N)
+        c = out.logits.shape[-1]
+        logits = flat.reshape(n_pred, n_members, b, h, w, c)
+        return jnp.moveaxis(jax.nn.softmax(logits, axis=-1), 0, 1)
+
+    def flat_diffusion(params, rng, images):
+        b, h, w, _ = images.shape
+        c = built.num_classes
+        rows = n_members * n_pred
+        k_init, k_loop = jax.random.split(rng)
+        imgs = _tile_rows(images, rows)
+        x_init = jax.random.normal(k_init, (rows * b, h, w, c), images.dtype)
+
+        def model_fn(x_with_im, t, step_key):
+            return _apply(params, x_with_im, t, dropout_key=step_key).logits
+
+        x0 = built.diffusion.sample_loop(
+            model_fn, x_init, imgs, num_steps, rng=k_loop,
+            sampler_type=sampler_type, model_takes_rng=True,
+        )
+        return x0.reshape(n_members, n_pred, b, h, w, c)
+
+    def flat_prob_unet(params, rng, images):
+        b, h, w, _ = images.shape
+        kd, ks = jax.random.split(rng)
+        out = _apply(params, _tile_rows(images, n_members), dropout_key=kd)
+
+        def _tile_pred(p):
+            tiled = jnp.broadcast_to(p[None], (n_pred,) + p.shape)
+            return tiled.reshape((n_pred * p.shape[0],) + p.shape[1:])
+
+        feats = _tile_pred(out.features)
+        prior = jax.tree.map(_tile_pred, out.prior)
+        z = sample_latent(prior, ks)
+        logits = _apply(params, feats, z, dropout_key=kd, method=module.decode)
+        c = logits.shape[-1]
+        probs = jax.nn.softmax(logits, axis=-1)
+        return jnp.moveaxis(probs.reshape(n_pred, n_members, b, h, w, c), 0, 1)
+
+    flat_fn = {
+        "softmax": flat_softmax,
+        "ssn": flat_ssn,
+        "diffusion": flat_diffusion,
+        "prob_unet": flat_prob_unet,
+    }[au]
+    use_flat = (
+        spec.flat_fold
+        and spec.member_mode in ("single", "dropout")
+        and not spec.same_dropout
+        and spec.member_chunk is None
+    )
     generative_count = (
         (n_members if member_is_generative else 0) + spec.external_generative_members
     )
@@ -198,6 +289,8 @@ def make_sampler(built: BuiltModel, spec: SamplerSpec) -> Callable:
     chunk = spec.member_chunk
 
     def sampler(params, images, rng):
+        if use_flat:
+            return _finalize(flat_fn(params, rng, images))
         member_keys = jax.random.split(rng, n_members)
         if spec.member_mode == "params_stack":
             if chunk:
@@ -217,8 +310,10 @@ def make_sampler(built: BuiltModel, spec: SamplerSpec) -> Callable:
                 groups = jax.vmap(group_fn, in_axes=(None, 0, None))(params, member_keys, images)
         else:
             groups = group_fn(params, member_keys[0], images)[None]
-        # groups: (M, S, B, H, W, C)
+        return _finalize(groups)
 
+    def _finalize(groups):
+        # groups: (M, S, B, H, W, C)
         if spec.discretize:
             c = groups.shape[-1]
             groups = jax.nn.one_hot(jnp.argmax(groups, axis=-1), c, dtype=groups.dtype)

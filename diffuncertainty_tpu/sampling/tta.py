@@ -10,17 +10,23 @@ map (constant-0 border like training) and predictions with the exact inverse
 (BORDER_REPLICATE bilinear like the reference inversion), then renormalizes
 the class simplex (``test_2D.py:188-194``).
 
-Composing into a single warp does one resample instead of up to three — less
-interpolation error than the reference, and no host round-trips.
+Two warp backends (``TTAConfig.separable_warp``): the default two-pass
+separable warp (``ops/warp.py::warp_affine_separable`` — matmul scale +
+row-slice-gather translate per axis, the TPU-fast path; double interpolation
+like the reference's sequential cv2 warps), or the single composed-resample
+gather warp (one interpolation, exact oracle parity with scipy, but
+descriptor-bound on TPU).
 """
 
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops.warp import (
     compose_affine,
@@ -28,6 +34,7 @@ from ..ops.warp import (
     invert_affine,
     rotation_matrix,
     warp_affine,
+    warp_affine_separable,
 )
 
 
@@ -37,6 +44,8 @@ class TTAConfig:
     rotation_limit: float = 22.5  # degrees, uniform in [-limit, limit]
     scale_limit: tuple[float, float] = (-0.2, 0.2)  # factor = 1 + U[lo, hi]
     augment_mult: float = 1.0  # scales the magnitude knobs (augment_mult)
+    separable_warp: bool = True  # two-pass MXU warp (ops/warp.py); False ->
+    # the single composed-resample gather warp (exact but descriptor-bound)
 
     @property
     def effective(self) -> "TTAConfig":
@@ -48,12 +57,55 @@ class TTAConfig:
             rotation_limit=self.rotation_limit * m,
             scale_limit=(self.scale_limit[0] * m, self.scale_limit[1] * m),
             augment_mult=1.0,
+            separable_warp=self.separable_warp,
         )
 
 
 class TTAParams(NamedTuple):
     forward: jnp.ndarray  # (B, 2, 3) src->dst forward affine
     inverse: jnp.ndarray  # (B, 2, 3) forward of the inverse == dst->src of fwd
+    separable: bool = False  # static: route warps through the two-pass kernel
+    margin_x: int = 0  # static per-pass translation bounds for the separable
+    margin_y: int = 0  # warp, computed from the (static) TTAConfig limits
+
+
+@functools.lru_cache(maxsize=None)
+def _separable_margins(
+    rotation_limit: float, smin: float, smax: float, flip_possible: bool,
+    height: int, width: int,
+) -> tuple[int, int]:
+    """Static bounds on the per-pass translation |cA/sA|, |cB/sB| (pixels).
+
+    Enumerates the TTA transform family (angle grid x scale extremes x flip,
+    forward and inverse maps) with host numpy; offsets are affine in the row
+    index so corners suffice per matrix. 5% headroom + 2 px guard.
+    """
+    angles = np.linspace(-rotation_limit, rotation_limit, 65)
+    scales = np.linspace(max(smin, 1e-3), smax, 9)
+    cx, cy = (width - 1) / 2.0, (height - 1) / 2.0
+    flips = (False, True) if flip_possible else (False,)
+    e_x = e_y = 1.0
+    for ang in angles:
+        a = np.deg2rad(ang)
+        for sc in scales:
+            alpha, beta = sc * np.cos(a), sc * np.sin(a)
+            rot = np.array(
+                [[alpha, beta, (1 - alpha) * cx - beta * cy],
+                 [-beta, alpha, beta * cx + (1 - alpha) * cy],
+                 [0.0, 0.0, 1.0]]
+            )
+            for flip in flips:
+                fm = np.array([[-1.0, 0.0, width - 1.0], [0.0, 1.0, 0.0], [0, 0, 1.0]])
+                fwd = rot @ fm if flip else rot
+                for m in (fwd, np.linalg.inv(fwd)):
+                    (m00, m01, m02), (m10, m11, m12) = m[0], m[1]
+                    # the warp centers the per-image offset inside the
+                    # interpolation matrix; only the per-row residual
+                    # slope*(row - center)/scale hits the gather margin
+                    s_a = m00 - m01 * m10 / m11
+                    e_x = max(e_x, abs(m01 / m11) * (height - 1) / 2 / abs(s_a))
+                    e_y = max(e_y, abs(m10 / m11) * (width - 1) / 2)
+    return int(np.ceil(e_x * 1.05)) + 2, int(np.ceil(e_y * 1.05)) + 2
 
 
 def sample_tta_params(
@@ -74,12 +126,27 @@ def sample_tta_params(
     ident = jnp.broadcast_to(jnp.asarray([[1.0, 0, 0], [0, 1.0, 0]]), (batch, 2, 3))
     maybe_flip = jnp.where(flip[:, None, None], flip_m, ident)
     forward = compose_affine(rot, maybe_flip)  # flip first, then rotate/scale
-    return TTAParams(forward=forward, inverse=invert_affine(forward))
+    if eff.separable_warp:
+        m_x, m_y = _separable_margins(
+            float(eff.rotation_limit), 1.0 + float(lo), 1.0 + float(hi),
+            eff.hflip_p > 0.0, height, width,
+        )
+    else:
+        m_x = m_y = 0
+    return TTAParams(
+        forward=forward, inverse=invert_affine(forward),
+        separable=eff.separable_warp, margin_x=m_x, margin_y=m_y,
+    )
 
 
 def apply_tta(images: jnp.ndarray, params: TTAParams) -> jnp.ndarray:
     """Warp the input batch by the forward transform (training-style border)."""
     # warp_affine wants dst->src; forward transform's dst->src is its inverse
+    if params.separable:
+        return warp_affine_separable(
+            images, params.inverse, border_mode="constant",
+            margin_x=params.margin_x, margin_y=params.margin_y,
+        )
     return warp_affine(
         images, params.inverse, interpolation="bilinear",
         border_mode="constant", border_value=0.0,
@@ -88,9 +155,15 @@ def apply_tta(images: jnp.ndarray, params: TTAParams) -> jnp.ndarray:
 
 def invert_tta(probs: jnp.ndarray, params: TTAParams, eps: float = 1e-12) -> jnp.ndarray:
     """Warp predictions back and renormalize the class simplex."""
-    restored = warp_affine(
-        probs, params.forward, interpolation="bilinear", border_mode="replicate"
-    )
+    if params.separable:
+        restored = warp_affine_separable(
+            probs, params.forward, border_mode="replicate",
+            margin_x=params.margin_x, margin_y=params.margin_y,
+        )
+    else:
+        restored = warp_affine(
+            probs, params.forward, interpolation="bilinear", border_mode="replicate"
+        )
     normalizer = jnp.sum(restored, axis=-1, keepdims=True)
     safe = jnp.clip(normalizer, min=eps)
     return jnp.where(normalizer > eps, restored / safe, restored)

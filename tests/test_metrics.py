@@ -250,3 +250,33 @@ def test_eaurc_matches_reference_formula():
     np.testing.assert_allclose(eaurc(risks, confids), aurc(risks, confids) - opt, rtol=1e-12)
     # optimal ranking has (weakly) the smallest trapezoid AURC
     assert aurc(risks, -risks) <= aurc(risks, confids) + 1e-12
+
+
+@pytest.mark.parametrize("binary", [True, False])
+def test_ged_padded_raters_match_unpadded(rng, binary):
+    """Combined-schema collate pads the rater axis with zero masks
+    (reference lidc2d_dataset.py:31-86); with n_raters passed, padded GED
+    must equal GED on the unpadded rater set."""
+    C = 2 if binary else 4
+    P, G_true, pad, H, W = 3, 4, 2, 12, 12
+    softmax = rng.random((P, H, W, C)).astype(np.float32)
+    softmax /= softmax.sum(-1, keepdims=True)
+    gt = rng.integers(0, C, (G_true, H, W)).astype(np.int32)
+    gt_padded = np.concatenate([gt, np.zeros((pad, H, W), np.int32)], axis=0)
+
+    if binary:
+        want = ged_binary(jnp.asarray(softmax), jnp.asarray(gt), ignore_index=None)
+        got = ged_binary(
+            jnp.asarray(softmax), jnp.asarray(gt_padded),
+            ignore_index=None, n_raters=jnp.asarray(G_true),
+        )
+    else:
+        want = ged_multiclass(jnp.asarray(softmax), jnp.asarray(gt), C, ignore_index=0)
+        got = ged_multiclass(
+            jnp.asarray(softmax), jnp.asarray(gt_padded), C,
+            ignore_index=0, n_raters=jnp.asarray(G_true),
+        )
+    for key in ["ged", "dice", "max_dice_pred", "max_dice_gt", "major_dice"]:
+        np.testing.assert_allclose(
+            float(got[key]), float(want[key]), atol=1e-5, err_msg=key
+        )

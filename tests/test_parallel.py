@@ -1,0 +1,147 @@
+"""Multi-device numerical-equivalence tests on the virtual 8-device CPU mesh.
+
+The dryrun (``__graft_entry__.dryrun_multichip``) proves the sharded programs
+*run*; these tests prove they compute the *same numbers* as single-device:
+
+- the 8-way data-parallel train step must produce the same loss and updated
+  params as the unsharded step on the identical batch/keys (XLA inserts the
+  gradient all-reduce; only fp32 reduction order may differ),
+- the (data x member)-sharded ensemble sampler must match the unsharded
+  sampler exactly (same keys, same math, different partitioning).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from diffuncertainty_tpu.core.config import load_config
+from diffuncertainty_tpu.models.factory import build_model
+from diffuncertainty_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    replicate,
+    shard_batch,
+    shard_member_stack,
+)
+from diffuncertainty_tpu.sampling import SamplerSpec, make_sampler
+from diffuncertainty_tpu.train import Trainer
+
+SMALL_NET = [
+    "network.model_channels=8",
+    "network.num_res_blocks=[1,1]",
+    "network.channel_mult=[1,2]",
+    "network.attention_resolutions=[-1]",
+]
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs the virtual 8-device mesh"
+)
+
+
+def _cfg(tmp_path, mesh_shape):
+    return load_config(
+        data="toy64", network="unet4", model="softmax", eu_method="none",
+        overrides=SMALL_NET + [
+            f"save_dir={tmp_path}",
+            f"trainer.mesh_shape=[{mesh_shape[0]},{mesh_shape[1]}]",
+        ],
+    )
+
+
+def _flat(tree):
+    return np.concatenate([np.ravel(np.asarray(x)) for x in jax.tree.leaves(tree)])
+
+
+def test_dp_train_step_matches_single_device(tmp_path):
+    batch = {
+        "image": np.asarray(
+            np.random.default_rng(0).random((16, 32, 32, 3)), np.float32
+        ),
+        "seg": (np.random.default_rng(1).random((16, 32, 32)) > 0.5).astype(np.int32),
+    }
+
+    results = {}
+    for name, mesh_shape in [("single", (1, 1)), ("dp8", (8, 1))]:
+        trainer = Trainer(_cfg(tmp_path / name, mesh_shape))
+        state = trainer.init_state(jax.random.key(0), batch)
+        step = trainer._get_step(False)
+        jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
+        if trainer.mesh is not None:
+            jbatch = shard_batch(jbatch, trainer.mesh)
+            state = state._replace(
+                params=replicate(state.params, trainer.mesh),
+                opt_state=replicate(state.opt_state, trainer.mesh),
+                ema_params=replicate(state.ema_params, trainer.mesh),
+            )
+        new_state, aux = step(state, jbatch, jax.random.key(1), {})
+        results[name] = (float(aux["loss"]), _flat(new_state.params))
+
+    loss_s, params_s = results["single"]
+    loss_dp, params_dp = results["dp8"]
+    assert np.isfinite(loss_s)
+    # fp32 all-reduce order differs across partitionings: allow reduction
+    # noise on the loss, and one AdamW-update quantum (lr=1e-4; Adam
+    # normalizes grads to ~sign at step 1) of slack on the params
+    np.testing.assert_allclose(loss_dp, loss_s, rtol=1e-4)
+    np.testing.assert_allclose(params_dp, params_s, atol=2.5e-4)
+
+
+def test_member_sharded_sampler_matches_single_device():
+    cfg = load_config(
+        data="toy64", network="unet4", model="ssn", eu_method="none",
+        overrides=SMALL_NET,
+    )
+    built = build_model(cfg)
+    x = jnp.asarray(np.random.default_rng(2).random((4, 32, 32, 3)), jnp.float32)
+    params = built.module.init({"params": jax.random.key(0)}, x)
+    n_members = 4
+    # distinct members: perturb each copy deterministically
+    stacked = jax.tree.map(
+        lambda p: jnp.stack([p * (1.0 + 0.01 * i) for i in range(n_members)]), params
+    )
+    sampler = make_sampler(
+        built, SamplerSpec(n_pred=2, n_members=n_members, member_mode="params_stack")
+    )
+    key = jax.random.key(3)
+
+    ref = jax.jit(sampler)(stacked, x, key)
+
+    mesh = make_mesh((2, 4), ("data", "member"))
+    stacked_sh = shard_member_stack(stacked, mesh)
+    x_sh = jax.device_put(x, batch_sharding(mesh, x.ndim))
+    got = jax.jit(sampler)(stacked_sh, x_sh, key)
+
+    np.testing.assert_allclose(
+        np.asarray(got.groups), np.asarray(ref.groups), atol=1e-6
+    )
+    np.testing.assert_allclose(np.asarray(got.mean), np.asarray(ref.mean), atol=1e-6)
+
+
+def test_flat_dropout_sampler_under_data_sharding_matches():
+    """The flat-fold dropout sampler is deterministic in (params, images, key);
+    sharding its batch axis must not change the numbers."""
+    cfg = load_config(
+        data="toy64", network="unet4", model="softmax", eu_method="dropout",
+        overrides=SMALL_NET,
+    )
+    built = build_model(cfg)
+    x = jnp.asarray(np.random.default_rng(4).random((8, 32, 32, 3)), jnp.float32)
+    params = built.module.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)}, x
+    )
+    sampler = make_sampler(
+        built,
+        SamplerSpec(n_pred=1, n_members=4, member_mode="dropout", tta=True),
+    )
+    key = jax.random.key(5)
+    ref = jax.jit(sampler)(params, x, key)
+
+    mesh = make_mesh((8, 1), ("data", "member"))
+    x_sh = jax.device_put(x, batch_sharding(mesh, x.ndim))
+    params_sh = replicate(params, mesh)
+    got = jax.jit(sampler)(params_sh, x_sh, key)
+
+    np.testing.assert_allclose(
+        np.asarray(got.groups), np.asarray(ref.groups), atol=1e-6
+    )

@@ -179,7 +179,10 @@ def test_member_chunking_matches_full_vmap():
     built = _built(eu="dropout")
     params = _randomized(built)
     images = jnp.asarray(np.random.default_rng(3).random((2, 16, 16, 3)), jnp.float32)
-    full = make_sampler(built, SamplerSpec(n_pred=1, n_members=4, member_mode="dropout"))
+    # chunking is a memory knob on the vmap path; compare against the
+    # unchunked vmap structure (flat_fold=False), which shares key derivation
+    full = make_sampler(built, SamplerSpec(
+        n_pred=1, n_members=4, member_mode="dropout", flat_fold=False))
     chunked = make_sampler(
         built, SamplerSpec(n_pred=1, n_members=4, member_mode="dropout", member_chunk=2)
     )
@@ -188,3 +191,31 @@ def test_member_chunking_matches_full_vmap():
     np.testing.assert_allclose(
         np.asarray(a.groups), np.asarray(b.groups), atol=1e-6
     )
+
+
+def test_flat_fold_matches_vmap_when_deterministic():
+    """With no stochastic ops (no dropout, no TTA), the flat-fold path and the
+    nested-vmap path are the same pure forward and must agree exactly."""
+    built = _built()  # softmax, eu=none
+    params = _randomized(built)
+    images = jnp.asarray(np.random.default_rng(3).random((2, 16, 16, 3)), jnp.float32)
+    flat = make_sampler(built, SamplerSpec(n_pred=1))
+    vmapped = make_sampler(built, SamplerSpec(n_pred=1, flat_fold=False))
+    a = flat(params, images, jax.random.key(0))
+    b = vmapped(params, images, jax.random.key(0))
+    np.testing.assert_allclose(np.asarray(a.groups), np.asarray(b.groups), atol=1e-6)
+
+
+def test_flat_fold_dropout_members_distinct_and_stable():
+    """Flat-fold dropout members draw independent masks per member and the
+    whole stack is deterministic in the rng."""
+    built = _built(eu="dropout")
+    params = _randomized(built)
+    images = jnp.asarray(np.random.default_rng(3).random((2, 16, 16, 3)), jnp.float32)
+    fn = make_sampler(built, SamplerSpec(n_pred=1, n_members=4, member_mode="dropout"))
+    a = fn(params, images, jax.random.key(7))
+    b = fn(params, images, jax.random.key(7))
+    np.testing.assert_allclose(np.asarray(a.groups), np.asarray(b.groups), atol=0)
+    arr = np.asarray(a.groups).reshape(4, -1)
+    for i in range(3):
+        assert np.abs(arr[i] - arr[i + 1]).max() > 1e-6

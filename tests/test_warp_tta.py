@@ -123,3 +123,81 @@ def test_tta_params_differ_across_keys():
     a = sample_tta_params(cfg, jax.random.key(0), 2, 16, 16)
     b = sample_tta_params(cfg, jax.random.key(1), 2, 16, 16)
     assert np.abs(np.asarray(a.forward) - np.asarray(b.forward)).max() > 1e-3
+
+
+# ---- separable (two-pass) warp --------------------------------------------
+
+from diffuncertainty_tpu.ops.warp import warp_affine_separable
+
+
+def _smooth_images(b=3, h=32, w=32, c=2):
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    img = np.stack(
+        [np.sin(xx / 7 + k) * np.cos(yy / 5 - k) + 0.5 * np.sin((xx + yy) / 9)
+         for k in range(c)], -1,
+    )
+    return jnp.asarray(np.broadcast_to(img, (b, h, w, c)).copy(), jnp.float32)
+
+
+@pytest.mark.parametrize("mode", ["replicate", "constant"])
+def test_separable_exact_for_single_pass_warps(mode):
+    """Identity, hflip, and translations are exact (one pass is a no-op or
+    integer-aligned, so no double interpolation occurs)."""
+    imgs = _smooth_images()
+    b, h, w, _ = imgs.shape
+    cases = [
+        jnp.asarray([[1.0, 0, 0], [0, 1, 0]]),      # identity
+        hflip_matrix(w),                              # pure flip
+        jnp.asarray([[1.0, 0, 3], [0, 1, -2]]),      # integer translation
+        jnp.asarray([[1.0, 0, 0.5], [0, 1, 0.25]]),  # fractional translation
+    ]
+    for m in cases:
+        mb = jnp.broadcast_to(m, (b, 2, 3))
+        exact = warp_affine(imgs, mb, border_mode=mode)
+        sep = warp_affine_separable(imgs, mb, border_mode=mode, margin_x=w, margin_y=h)
+        np.testing.assert_allclose(np.asarray(sep), np.asarray(exact), atol=1e-5)
+
+
+@pytest.mark.parametrize("mode", ["replicate", "constant"])
+def test_separable_close_on_smooth_rotation(mode, rng):
+    """Interior error vs the single-resample warp stays at double-interpolation
+    scale on band-limited content; constant-0 outside mask agrees exactly."""
+    imgs = _smooth_images(b=4)
+    b, h, w, _ = imgs.shape
+    ang = jnp.asarray(rng.uniform(-22.5, 22.5, b), jnp.float32)
+    sc = jnp.asarray(1 + rng.uniform(-0.2, 0.2, b), jnp.float32)
+    m = invert_affine(rotation_matrix(ang, sc, ((w - 1) / 2, (h - 1) / 2)))
+    exact = np.asarray(warp_affine(imgs, m, border_mode=mode))
+    sep = np.asarray(warp_affine_separable(imgs, m, border_mode=mode, margin_x=w, margin_y=h))
+    inner = (slice(None), slice(4, -4), slice(4, -4))
+    assert np.abs(exact - sep)[inner].max() < 0.05
+    if mode == "constant":
+        # pixels the exact warp zeroes (source fully outside) are zero here too
+        outside = np.abs(exact).max(-1) == 0.0
+        assert np.abs(sep[outside]).max() < 1e-5
+
+
+def test_separable_margin_helper_covers_offsets():
+    from diffuncertainty_tpu.sampling.tta import _separable_margins
+
+    mx, my = _separable_margins(22.5, 0.8, 1.2, True, 128, 128)
+    assert 0 < mx < 128 and 0 < my < 128
+    # margins grow with rotation
+    mx2, my2 = _separable_margins(45.0, 0.8, 1.2, True, 128, 128)
+    assert mx2 > mx and my2 > my
+
+
+def test_tta_separable_vs_exact_round_trip():
+    """Both warp backends recover the interior and preserve the simplex."""
+    yy, xx = np.meshgrid(np.linspace(0, 1, 32), np.linspace(0, 1, 32), indexing="ij")
+    p1 = (0.3 + 0.4 * np.sin(2 * np.pi * xx) * np.cos(2 * np.pi * yy)).astype(np.float32)
+    x = jnp.asarray(np.stack([np.stack([p1, 1 - p1], axis=-1)] * 3))
+    inner = (slice(None), slice(8, 24), slice(8, 24), slice(None))
+    for separable in (True, False):
+        cfg = TTAConfig(hflip_p=1.0, rotation_limit=20.0, scale_limit=(0.0, 0.2),
+                        separable_warp=separable)
+        params = sample_tta_params(cfg, jax.random.key(0), 3, 32, 32)
+        assert params.separable == separable
+        back = np.asarray(invert_tta(apply_tta(x, params), params))
+        np.testing.assert_allclose(back[inner], np.asarray(x)[inner], atol=0.08)
+        np.testing.assert_allclose(back.sum(-1), 1.0, atol=1e-5)
