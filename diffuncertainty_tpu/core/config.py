@@ -185,6 +185,9 @@ class TrainerConfig:
     val_every_n_epochs: int = 1
     mesh_shape: tuple[int, ...] = (1, 1)  # (data, member) device mesh
     mesh_axis_names: tuple[str, ...] = ("data", "member")
+    loggers: tuple[str, ...] = ("jsonl", "tensorboard")  # + "wandb" optional
+    # (reference: TB default, wandb opt-in — configs/standard.yaml:29-42;
+    # metrics.jsonl is the canonical stream the eval stack reads)
 
 
 @dataclasses.dataclass

@@ -283,3 +283,148 @@ def plot_prediction_grid(
     fig.savefig(out_path, dpi=120)
     plt.close(fig)
     return Path(out_path)
+
+
+# --------------------------------------------------------------------------
+# training curves: JSONL (canonical) + tfevents readers, seed-grouped plots
+# (the reference's tfevents loading/merging in visualization/helpers.py and
+# global_utils/merge_tfevents.py)
+# --------------------------------------------------------------------------
+
+def load_training_curves(workdir: str | Path) -> pd.DataFrame:
+    """Read a run's ``metrics.jsonl`` into a long DataFrame
+    (columns: step/epoch plus one row per scalar: key, value)."""
+    records = []
+    path = Path(workdir) / "metrics.jsonl"
+    for i, line in enumerate(path.read_text().splitlines()):
+        rec = json.loads(line)
+        step = rec.get("step", rec.get("epoch", i))
+        epoch = rec.get("epoch")
+        for k, v in rec.items():
+            if isinstance(v, (int, float)) and not isinstance(v, bool) \
+                    and k not in ("step", "epoch"):
+                records.append({"step": step, "epoch": epoch, "key": k, "value": float(v)})
+    return pd.DataFrame(records)
+
+
+def load_tfevents_curves(logdir: str | Path) -> pd.DataFrame:
+    """Read TensorBoard event files (e.g. the ``tb/`` dir MetricLogger
+    writes, or reference runs) into the same long format."""
+    from tensorboard.backend.event_processing.event_accumulator import (
+        EventAccumulator,
+    )
+
+    acc = EventAccumulator(str(logdir))
+    acc.Reload()
+    records = []
+    for tag in acc.Tags().get("scalars", []):
+        for ev in acc.Scalars(tag):
+            records.append({"step": ev.step, "epoch": None, "key": tag,
+                            "value": float(ev.value)})
+    return pd.DataFrame(records)
+
+
+def merge_training_curves(runs: dict[str, str | Path]) -> pd.DataFrame:
+    """Concatenate several runs' curves with a ``run`` column; reads JSONL
+    when present, tfevents otherwise."""
+    frames = []
+    for name, workdir in runs.items():
+        workdir = Path(workdir)
+        if (workdir / "metrics.jsonl").exists():
+            df = load_training_curves(workdir)
+        else:
+            df = load_tfevents_curves(workdir)
+        df["run"] = name
+        frames.append(df)
+    return pd.concat(frames, ignore_index=True)
+
+
+def plot_training_curves(
+    curves: pd.DataFrame,
+    keys: list[str],
+    out_path: str | Path,
+    *,
+    group_seeds: bool = True,
+):
+    """Per-key training curves; runs named ``..._s{seed}`` are grouped into
+    mean +/- std bands when ``group_seeds`` (the reference's seed-grouped
+    loss panels)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import re
+
+    if "run" not in curves.columns:
+        curves = curves.assign(run="run")
+    if group_seeds:
+        curves = curves.assign(
+            group=curves["run"].map(lambda r: re.sub(r"_s\d+$", "", str(r)))
+        )
+    else:
+        curves = curves.assign(group=curves["run"])
+
+    fig, axes = plt.subplots(1, len(keys), figsize=(4.5 * len(keys), 3.2), squeeze=False)
+    for ax, key in zip(axes[0], keys):
+        sel = curves[curves["key"] == key]
+        if sel.empty:
+            ax.set_title(f"{key} (no data)")
+            continue
+        for group, gdf in sel.groupby("group"):
+            stats = gdf.groupby("step")["value"].agg(["mean", "std", "count"])
+            ax.plot(stats.index, stats["mean"], label=str(group))
+            if (stats["count"] > 1).any():
+                sd = stats["std"].fillna(0.0)
+                ax.fill_between(stats.index, stats["mean"] - sd, stats["mean"] + sd,
+                                alpha=0.2)
+        ax.set_title(key)
+        ax.set_xlabel("step")
+        ax.legend(fontsize=7)
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=120)
+    plt.close(fig)
+    return Path(out_path)
+
+
+def uncertainty_panel(
+    raw: dict,
+    out_path: str | Path,
+    *,
+    max_rows: int = 4,
+):
+    """Per-dataset paper panel: image | rater overlay | mean pred | TU | AU | EU
+    (the reference's LIDC/Chaksu qualitative panels,
+    ``visualization/helpers.py`` figure builders)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import jax.numpy as jnp
+
+    from ..ops.entropy import uncertainty_heatmaps
+
+    records = raw["records"][:max_rows]
+    cols = ["image", "raters", "mean pred", "TU", "AU", "EU"]
+    fig, axes = plt.subplots(len(records), len(cols),
+                             figsize=(2.2 * len(cols), 2.2 * len(records)))
+    axes = np.atleast_2d(axes)
+    for r, rec in enumerate(records):
+        img = rec["image"]
+        axes[r, 0].imshow(img if img.ndim == 2 else img[..., 0], cmap="gray")
+        axes[r, 0].set_ylabel(str(rec["image_id"]), fontsize=7)
+        axes[r, 1].imshow(rec["gt"].mean(axis=0), cmap="magma",
+                          vmin=0, vmax=max(float(rec["gt"].max()), 1.0))
+        axes[r, 2].imshow(np.argmax(rec["mean"], axis=-1))
+        group_means = rec["groups"].mean(axis=1)
+        maps = uncertainty_heatmaps(jnp.asarray(group_means), sample_axis=0, class_axis=-1)
+        for c, key in enumerate(["TU", "AU", "EU"]):
+            if key in maps:
+                axes[r, 3 + c].imshow(np.asarray(maps[key]), cmap="viridis")
+        for ax in axes[r]:
+            ax.set_xticks([]), ax.set_yticks([])
+    for c, t in enumerate(cols):
+        axes[0, c].set_title(t, fontsize=9)
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=120)
+    plt.close(fig)
+    return Path(out_path)

@@ -102,6 +102,8 @@ class Trainer:
         self._jitted_steps: dict[bool, Any] = {}
         self._jitted_eval = None
         self._metrics_file = self.workdir / "metrics.jsonl"
+        self._logger = None  # built lazily so tests constructing many
+        # Trainers don't spawn TB writers they never log to
 
     def _build_tx(self, total_steps: int | None):
         cfg = self.cfg
@@ -450,9 +452,8 @@ class Trainer:
         )
 
     def _log(self, record: dict) -> None:
-        with open(self._metrics_file, "a") as f:
-            f.write(json.dumps(record) + "\n")
-        printable = ", ".join(
-            f"{k}={v:.5g}" if isinstance(v, float) else f"{k}={v}" for k, v in record.items()
-        )
-        print(f"[train] {printable}")
+        if self._logger is None:
+            from ..utils.loggers import MetricLogger
+
+            self._logger = MetricLogger(self.workdir, self.cfg.trainer.loggers)
+        self._logger.log(record)

@@ -185,3 +185,59 @@ def test_metric_matrix_and_scatter(tmp_path):
     assert pivot.shape == (3, 2) and (tmp_path / "mm.png").exists()
     out = au_eu_scatter(df, out_path=tmp_path / "scatter.png")
     assert out.exists()
+
+
+# ---- logger backends + training-curve figures ------------------------------
+
+def test_metric_logger_tensorboard_roundtrip(tmp_path):
+    from diffuncertainty_tpu.utils.loggers import MetricLogger
+    from diffuncertainty_tpu.evaln.visualization import (
+        load_tfevents_curves,
+        load_training_curves,
+        merge_training_curves,
+        plot_training_curves,
+    )
+
+    for seed in (1, 2):
+        lg = MetricLogger(tmp_path / f"run_s{seed}", ("jsonl", "tensorboard"), echo=False)
+        for step in range(5):
+            lg.log({"step": step, "train_loss": 1.0 / (step + seed),
+                    "note": "text-skipped-by-tb"})
+        lg.close()
+
+    # JSONL canonical stream
+    df = load_training_curves(tmp_path / "run_s1")
+    assert set(df["key"]) == {"train_loss"} and len(df) == 5
+
+    # TB mirror readable through the tfevents loader
+    tb = load_tfevents_curves(tmp_path / "run_s1" / "tb")
+    assert set(tb["key"]) == {"train_loss"} and len(tb) == 5
+    import numpy as np
+    np.testing.assert_allclose(
+        sorted(tb["value"]), sorted(df["value"]), rtol=1e-6
+    )
+
+    merged = merge_training_curves({
+        "exp_s1": tmp_path / "run_s1", "exp_s2": tmp_path / "run_s2"})
+    assert set(merged["run"]) == {"exp_s1", "exp_s2"}
+    out = plot_training_curves(merged, ["train_loss"], tmp_path / "curves.png")
+    assert out.exists() and out.stat().st_size > 0
+
+
+def test_uncertainty_panel(tmp_path, rng):
+    from diffuncertainty_tpu.evaln.visualization import uncertainty_panel
+
+    g, s, hw, c = 3, 2, 16, 2
+    records = []
+    for i in range(2):
+        groups = rng.random((g, s, hw, hw, c)).astype("float32")
+        groups /= groups.sum(-1, keepdims=True)
+        records.append({
+            "image_id": f"im{i}",
+            "image": rng.random((hw, hw, 3)).astype("float32"),
+            "gt": (rng.random((4, hw, hw)) > 0.5).astype("int32"),
+            "groups": groups,
+            "mean": groups.mean((0, 1)),
+        })
+    out = uncertainty_panel({"records": records}, tmp_path / "panel.png")
+    assert out.exists() and out.stat().st_size > 0
