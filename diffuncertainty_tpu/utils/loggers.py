@@ -74,6 +74,9 @@ class MetricLogger:
         if self._tb is not None:
             for k, v in scalars.items():
                 self._tb.add_scalar(k, v, global_step=step)
+            # records arrive at epoch cadence; flush so readers (and crashed
+            # runs) always see the latest scalars
+            self._tb.flush()
         if self._wandb is not None:  # pragma: no cover
             self._wandb.log(scalars, step=step)
         if self.echo:
