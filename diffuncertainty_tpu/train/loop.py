@@ -403,6 +403,12 @@ class Trainer:
             if shutdown_after is not None and time.time() - t_start > shutdown_after:
                 self._log({"epoch": epoch, "event": "graceful_shutdown"})
                 break
+        if self._logger is not None:
+            # tensorboardX writes through an async queue; close so the last
+            # epoch's scalars are on disk when fit returns (re-created lazily
+            # if anything logs afterwards)
+            self._logger.close()
+            self._logger = None
         return state
 
     # ---- checkpoint/save helpers -------------------------------------------
