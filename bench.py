@@ -1,12 +1,22 @@
 #!/usr/bin/env python
 """Benchmark: N=16-sample ensemble+TTA uncertainty inference, LIDC-2D shapes.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+Prints one JSON line per metric; the first is the headline
+{"metric", "value", "unit", "vs_baseline", ...}.
 
 Workload (BASELINE.json): unet16 backbone @ 128x128, 16 stochastic samples
 (MC-dropout members with on-device TTA), fused C2 heatmaps — the reference's
 standard inference configuration (``test_utils.py:80,90,151`` scaled to 16
-samples).
+samples). A second line times the continuous-diffusion sampler (16 DDIM
+trajectories x 10 steps, ``models/diffusion.py:366-410`` equivalent).
+
+Quality ("at matched AURC/ECE", BASELINE.md): when the trained checkpoint
+asset ``assets/bench_unet16_toy128.npz`` is present, the bench evaluates the
+deterministic toy-128 test split through BOTH the exact path (fp32, XLA
+attention, composed-resample TTA warp) and the fast path (bf16, VMEM Pallas
+attention, separable TTA warp) and reports Dice/GED/AURC/ECE side by side —
+the headline throughput is the fast path, and the deltas quantify that speed
+did not change the uncertainty quality. See PARITY.md.
 
 Timing methodology (axon-tunnel TPU): the tunnel adds ~1s RPC round-trip per
 host sync and ``block_until_ready`` returns early, so each measurement chains
@@ -16,8 +26,8 @@ per-batch time is the slope between K=1 and K=KBIG (RTT and dispatch cancel).
 ``vs_baseline`` compares against the same workload structured the
 reference's way — a sequential loop of 16 independent single-sample
 (member) programs per batch (``test_2D.py:1121-1280``), also chained and
-slope-timed, so the ratio isolates the framework-level change (vmapped
-member axis + fused TTA/heatmaps vs loop of forwards) from dispatch noise.
+slope-timed, so the ratio isolates the framework-level change (fused member
+axis + on-device TTA/heatmaps vs loop of forwards) from dispatch noise.
 The reference's additional CPU<->GPU model hopping and cv2 host warps are
 NOT charged to the baseline — the ratio is conservative.
 """
@@ -26,6 +36,8 @@ import json
 import os
 import sys
 import time
+from functools import partial
+from pathlib import Path
 
 import jax
 
@@ -39,10 +51,14 @@ import numpy as np
 def _log(msg):
     print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
+
 from diffuncertainty_tpu.core.config import load_config
 from diffuncertainty_tpu.models.factory import build_model
 from diffuncertainty_tpu.ops.entropy import uncertainty_heatmaps
 from diffuncertainty_tpu.sampling import SamplerSpec, TTAConfig, make_sampler
+
+REPO = Path(__file__).resolve().parent
+CKPT = REPO / "assets" / "bench_unet16_toy128.npz"
 
 # BENCH_SMOKE=1 shrinks the workload for CI smoke runs (CPU-feasible)
 _SMOKE = os.environ.get("BENCH_SMOKE") == "1"
@@ -51,75 +67,88 @@ HW = 32 if _SMOKE else 128
 N_SAMPLES = 4 if _SMOKE else 16
 KBIG = 3 if _SMOKE else 9
 REPEATS = 1 if _SMOKE else 3
+SMALL_NET = [
+    "network.model_channels=8", "network.num_res_blocks=[1,1]",
+    "network.channel_mult=[1,2]", "network.attention_resolutions=[-1]",
+] if _SMOKE else []
+
+TTA_CFG = TTAConfig(hflip_p=0.5, rotation_limit=22.5, scale_limit=(-0.2, 0.2))
+TTA_EXACT = TTAConfig(hflip_p=0.5, rotation_limit=22.5, scale_limit=(-0.2, 0.2),
+                      separable_warp=False)
 
 
-def slope_time(fn_k, params, images):
+def build(precision):
+    cfg = load_config(
+        data="lidc128", network="unet16", model="softmax", eu_method="dropout",
+        overrides=["data.batch_size=%d" % BATCH, "trainer.precision=%s" % precision]
+        + SMALL_NET,
+    )
+    return build_model(cfg)
+
+
+def slope_time(fn_k, args, tag):
     """Per-batch seconds from the K=1 vs K=KBIG slope (median of repeats)."""
 
     def run(k_static, seed):
         t0 = time.perf_counter()
-        float(fn_k(params, images, jax.random.key(seed), k_static))
+        float(fn_k(*args, jax.random.key(seed), k_static))
         return time.perf_counter() - t0
 
-    # compile both K variants
-    _log("compiling K=1 ...")
+    _log(f"{tag}: compiling K=1 ...")
     t = run(1, 0)
-    _log(f"K=1 compile+run {t:.1f}s; compiling K={KBIG} ...")
+    _log(f"{tag}: K=1 compile+run {t:.1f}s; compiling K={KBIG} ...")
     t = run(KBIG, 0)
-    _log(f"K={KBIG} compile+run {t:.1f}s; timing ...")
+    _log(f"{tag}: K={KBIG} compile+run {t:.1f}s; timing ...")
     diffs = []
     for r in range(REPEATS):
         t1 = run(1, 10 + r)
         tk = run(KBIG, 100 + r)
         diffs.append((tk - t1) / (KBIG - 1))
-    return float(np.median(diffs))
+    per = float(np.median(diffs))
+    _log(f"{tag}: {per * 1000:.1f} ms/batch -> {BATCH / per:.1f} img/s")
+    return per
 
 
-def main():
-    overrides = ["data.batch_size=%d" % BATCH]
-    if _SMOKE:
-        overrides += ["network.model_channels=8", "network.num_res_blocks=[1,1]",
-                      "network.channel_mult=[1,2]", "network.attention_resolutions=[-1]"]
-    cfg = load_config(
-        data="lidc128", network="unet16", model="softmax", eu_method="dropout",
-        overrides=overrides,
-    )
-    built = build_model(cfg)
-
-    rng = jax.random.key(0)
-    images = jax.random.uniform(rng, (BATCH, HW, HW, 3), jnp.float32)
+def load_params(built, rng, images):
+    """Trained checkpoint asset if present, else random init."""
     init_rngs = {"params": rng, "dropout": jax.random.fold_in(rng, 1)}
     params = built.module.init(init_rngs, images)
+    if CKPT.exists() and not _SMOKE:
+        from diffuncertainty_tpu.tools.bench_weights import load_params_npz
 
-    tta_cfg = TTAConfig(hflip_p=0.5, rotation_limit=22.5, scale_limit=(-0.2, 0.2))
-    fused_sampler = make_sampler(built, SamplerSpec(
-        n_pred=1, n_members=N_SAMPLES, member_mode="dropout",
-        tta=True, tta_config=tta_cfg,
-    ))
-    single_sampler = make_sampler(built, SamplerSpec(
-        n_pred=1, n_members=1, member_mode="dropout", tta=True, tta_config=tta_cfg,
-    ))
+        loaded = load_params_npz(CKPT)
+        ref_paths = {p for p, _ in jax.tree_util.tree_flatten_with_path(params)[0]}
+        got_paths = {p for p, _ in jax.tree_util.tree_flatten_with_path(loaded)[0]}
+        if ref_paths == got_paths:
+            return jax.tree.map(jnp.asarray, loaded), "trained(toy128)"
+        _log("checkpoint asset structure mismatch; using random init")
+    return params, "random-init"
 
-    from functools import partial
 
+def make_fused_k(built, sampler):
     @partial(jax.jit, static_argnums=(3,))
     def fused_k(params, images, key, k):
         def body(i, acc):
-            stack = fused_sampler(params, images, jax.random.fold_in(key, i))
+            stack = sampler(params, images, jax.random.fold_in(key, i))
             maps = uncertainty_heatmaps(stack.group_means, sample_axis=0, class_axis=-1)
-            return acc + jnp.sum(stack.mean) + jnp.sum(maps["TU"])
+            return (acc + jnp.sum(stack.mean.astype(jnp.float32))
+                    + jnp.sum(maps["TU"].astype(jnp.float32)))
         return jax.lax.fori_loop(0, k, body, 0.0)
+
+    return fused_k
+
+
+def make_looped_k(built, single_sampler):
+    """Reference structure: sequential member loop inside each batch."""
 
     @partial(jax.jit, static_argnums=(3,))
     def looped_k(params, images, key, k):
-        """Reference structure: sequential member loop inside each batch."""
-
         def batch_body(i, acc):
             bkey = jax.random.fold_in(key, i)
 
             def member_body(m, mean_acc):
                 s = single_sampler(params, images, jax.random.fold_in(bkey, m))
-                return mean_acc + s.mean
+                return mean_acc + s.mean.astype(jnp.float32)
 
             mean = jax.lax.fori_loop(
                 0, N_SAMPLES, member_body,
@@ -130,26 +159,144 @@ def main():
 
         return jax.lax.fori_loop(0, k, batch_body, 0.0)
 
-    fused_per_batch = slope_time(fused_k, params, images)
-    ref_per_batch = slope_time(looped_k, params, images)
+    return looped_k
 
-    fused_ips = BATCH / fused_per_batch
+
+def quality_eval(built, sampler, params, tag):
+    """Dice/GED/AURC/ECE on the deterministic toy-128 test split."""
+    from diffuncertainty_tpu.data.dataset import MultiRaterDataset
+    from diffuncertainty_tpu.data.loader import BatchLoader
+    from diffuncertainty_tpu.data.toy import generate_toy_dataset
+    from diffuncertainty_tpu.evaln.tasks import calc_ece
+    from diffuncertainty_tpu.infer.batch_metrics import make_batch_metrics
+    from diffuncertainty_tpu.metrics.aurc import aurc
+
+    toy = generate_toy_dataset(
+        Path("/tmp/bench_toy128"), num_train=128, num_val=16, num_test=32,
+        num_ood=16, num_raters=4, size=HW, seed=1234,
+    )
+    splits = toy / "splits" / "default" / "firstCycle" / "splits.pkl"
+    ds = MultiRaterDataset(splits, toy, split="id", num_raters=4)
+    loader = BatchLoader(ds, BATCH, drop_last=True)
+    bm = make_batch_metrics(num_classes=built.num_classes, ignore_index=None,
+                            meta=sampler.meta, compute_likelihood=False)
+    jsampler = jax.jit(sampler)
+
+    dices, geds, tu_means, eces = [], [], [], []
+    for bi, batch in enumerate(loader):
+        images = jnp.asarray(batch["image"])
+        gt = jnp.asarray(batch["seg"])
+        stack = jsampler(params, images, jax.random.key(777 + bi))
+        out = bm(stack, gt)
+        dices.extend(np.asarray(out["dice"]).tolist())
+        geds.extend(np.asarray(out["ged_bma"]).tolist())
+        maps = uncertainty_heatmaps(
+            stack.group_means.astype(jnp.float32), sample_axis=0, class_axis=-1)
+        tu_means.extend(np.asarray(jnp.mean(maps["TU"], axis=(1, 2))).tolist())
+        mean = np.asarray(stack.mean.astype(jnp.float32))
+        pred = mean.argmax(-1)
+        # pixel correctness vs the rater majority, confidence = max prob
+        gt_np = np.asarray(gt)
+        majority = (gt_np.mean(axis=1) >= 0.5).astype(np.int64)
+        correct = (pred == majority).reshape(-1)
+        confids = mean.max(-1).reshape(-1)
+        eces.append(calc_ece(correct, confids))
+    risks = 1.0 - np.asarray(dices)
+    q = {
+        "dice": round(float(np.mean(dices)), 4),
+        "ged_bma": round(float(np.mean(geds)), 4),
+        "aurc": round(float(aurc(risks, -np.asarray(tu_means))), 5),
+        "ece": round(float(np.mean(eces)), 5),
+    }
+    _log(f"quality[{tag}]: {q}")
+    return q
+
+
+def main():
+    rng = jax.random.key(0)
+    images = jax.random.uniform(rng, (BATCH, HW, HW, 3), jnp.float32)
+
+    built32 = build("fp32")
+    built16 = build("bf16")
+    params, weights_kind = load_params(built32, rng, images)
+
+    spec_fused = SamplerSpec(n_pred=1, n_members=N_SAMPLES, member_mode="dropout",
+                             tta=True, tta_config=TTA_CFG)
+    spec_single = SamplerSpec(n_pred=1, n_members=1, member_mode="dropout",
+                              tta=True, tta_config=TTA_CFG)
+
+    fast_sampler = make_sampler(built16, spec_fused)
+    fused_fast_k = make_fused_k(built16, fast_sampler)
+    looped_k = make_looped_k(built16, make_sampler(built16, spec_single))
+
+    fast_per_batch = slope_time(fused_fast_k, (params, images), "fast(bf16) fused")
+    ref_per_batch = slope_time(looped_k, (params, images), "baseline loop")
+
+    fast_ips = BATCH / fast_per_batch
     ref_ips = BATCH / ref_per_batch
 
     result = {
         "metric": "images/sec/chip, 16-sample ensemble+TTA uncertainty inference, LIDC-2D 128px",
-        "value": round(fused_ips, 2),
+        "value": round(fast_ips, 2),
         "unit": "images/sec/chip",
-        "vs_baseline": round(fused_ips / ref_ips, 3),
-        "p50_latency_ms": round(fused_per_batch * 1000, 2),
+        "vs_baseline": round(fast_ips / ref_ips, 3),
+        "p50_latency_ms": round(fast_per_batch * 1000, 2),
         "baseline_images_per_sec": round(ref_ips, 2),
         "baseline_def": "same workload as a sequential loop of 16 single-member programs per batch (reference pipeline structure), slope-timed on the same device",
         "timing": "per-batch slope between 1-batch and %d-batch device-chained runs (tunnel RTT cancels)" % KBIG,
         "device": str(jax.devices()[0]),
         "batch": BATCH,
         "n_samples": N_SAMPLES,
+        "precision": "bf16 compute (fp32 params), VMEM Pallas attention, separable TTA warp",
+        "weights": weights_kind,
     }
+
+    # ---- quality at matched AURC/ECE: exact path vs fast path ----
+    if weights_kind.startswith("trained"):
+        exact_sampler = make_sampler(
+            built32, SamplerSpec(n_pred=1, n_members=N_SAMPLES, member_mode="dropout",
+                                 tta=True, tta_config=TTA_EXACT))
+        q_fast = quality_eval(built16, fast_sampler, params, "fast bf16")
+        q_exact = quality_eval(built32, exact_sampler, params, "exact fp32")
+        result["quality_fast"] = q_fast
+        result["quality_exact_fp32"] = q_exact
+        result["quality_deltas"] = {
+            k: round(abs(q_fast[k] - q_exact[k]), 5) for k in q_fast
+        }
     print(json.dumps(result))
+
+    # ---- diffusion sampler throughput (the namesake path) ----
+    diff_overrides = ["data.batch_size=%d" % BATCH, "trainer.precision=bf16",
+                      "model.diffusion_sampling.num_steps=10"] + SMALL_NET
+    cfg_d = load_config(data="lidc128", network="unet16", model="diffusion",
+                        eu_method="none", overrides=diff_overrides)
+    built_d = build_model(cfg_d)
+    xd = jnp.ones((1, HW, HW, built_d.module.in_channels), jnp.float32)
+    params_d = built_d.module.init({"params": rng}, xd, jnp.zeros((1,)))
+    diff_sampler = make_sampler(built_d, SamplerSpec(
+        n_pred=N_SAMPLES, n_members=1, member_mode="single",
+        diffusion_sampler="ddim", diffusion_num_steps=10,
+    ))
+
+    @partial(jax.jit, static_argnums=(3,))
+    def diff_k(params, images, key, k):
+        def body(i, acc):
+            stack = diff_sampler(params, images, jax.random.fold_in(key, i))
+            return acc + jnp.sum(stack.mean.astype(jnp.float32))
+        return jax.lax.fori_loop(0, k, body, 0.0)
+
+    diff_per_batch = slope_time(diff_k, (params_d, images), "diffusion ddim10x16")
+    print(json.dumps({
+        "metric": "images/sec/chip, 16-trajectory DDIM-10 diffusion uncertainty inference, LIDC-2D 128px",
+        "value": round(BATCH / diff_per_batch, 2),
+        "unit": "images/sec/chip",
+        "p50_latency_ms": round(diff_per_batch * 1000, 2),
+        "batch": BATCH,
+        "n_trajectories": N_SAMPLES,
+        "num_steps": 10,
+        "weights": "random-init (throughput only)",
+        "note": "reference runs n_pred full reverse trajectories as a Python loop (test_2D.py:1195-1212); here trajectories are one vmapped-scan program",
+    }))
 
 
 if __name__ == "__main__":

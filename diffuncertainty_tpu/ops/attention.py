@@ -47,6 +47,19 @@ def qkv_attention(
     v = qkv_h[..., 2 * ch : 3 * ch]
     scale = 1.0 / jnp.sqrt(jnp.sqrt(jnp.asarray(ch, dtype=jnp.float32)))
     scale = scale.astype(qkv.dtype)
+
+    from .pallas_attention import attention_single_block, pallas_attention_usable
+
+    if pallas_attention_usable(t, qkv.dtype):
+        # VMEM-resident single-block kernel: no HBM score matrix. Fold
+        # (batch, heads) into the grid axis; (T, ch) per cell.
+        def fold(x):
+            return jnp.transpose(x, (0, 2, 1, 3)).reshape(b * num_heads, t, ch)
+
+        o = attention_single_block(fold(q * scale), fold(k * scale), fold(v))
+        o = o.reshape(b, num_heads, t, ch).transpose(0, 2, 1, 3)
+        return o.reshape(b, t, c)
+
     # weight[b,h,t,s] = sum_c q[b,t,h,c] k[b,s,h,c]
     weight = jnp.einsum("bthc,bshc->bhts", q * scale, k * scale, precision=precision)
     weight = jax_nn_softmax_f32(weight)

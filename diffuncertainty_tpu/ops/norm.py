@@ -35,12 +35,32 @@ def group_norm_32(
     orig_dtype = x.dtype
     xf = x.astype(jnp.float32)
     batch = x.shape[0]
-    spatial = x.shape[1:-1]
-    # (B, prod(spatial), groups, C/groups): stats per (batch, group)
-    xg = xf.reshape(batch, -1, groups, c // groups)
-    mean = jnp.mean(xg, axis=(1, 3), keepdims=True)
-    var = jnp.var(xg, axis=(1, 3), keepdims=True)
-    xg = (xg - mean) * lax.rsqrt(var + eps)
-    xf = xg.reshape(batch, *spatial, c)
-    xf = xf * scale.astype(jnp.float32) + bias.astype(jnp.float32)
-    return xf.astype(orig_dtype)
+    spatial_axes = tuple(range(1, xf.ndim - 1))
+    n_spatial = 1
+    for d in x.shape[1:-1]:
+        n_spatial *= d
+    cpg = c // groups
+
+    # Reduce to per-channel sums first (layout-friendly: no reshape of the
+    # big activation into a (B, HW, G, C/G) tensor, whose 2-wide minor axis
+    # tiled terribly and cost ~25% of the round-2 inference profile), then
+    # combine channel stats into group stats on the tiny (B, C) tensor.
+    # One fused pass computes sum and sum-of-squares together.
+    ch_sum = jnp.sum(xf, axis=spatial_axes)  # (B, C)
+    ch_sumsq = jnp.sum(xf * xf, axis=spatial_axes)
+    g_sum = jnp.sum(ch_sum.reshape(batch, groups, cpg), axis=-1)  # (B, G)
+    g_sumsq = jnp.sum(ch_sumsq.reshape(batch, groups, cpg), axis=-1)
+    n = float(n_spatial * cpg)
+    g_mean = g_sum / n
+    g_var = jnp.maximum(g_sumsq / n - g_mean * g_mean, 0.0)
+
+    # per-channel affine folded with the group stats: out = x*a + b
+    inv = lax.rsqrt(g_var + eps)  # (B, G)
+    inv_c = jnp.repeat(inv, cpg, axis=-1)  # (B, C)
+    mean_c = jnp.repeat(g_mean, cpg, axis=-1)
+    scale_f = scale.astype(jnp.float32)
+    a = inv_c * scale_f  # (B, C)
+    b = bias.astype(jnp.float32) - mean_c * a
+    bshape = (batch,) + (1,) * len(spatial_axes) + (c,)
+    out = xf * a.reshape(bshape) + b.reshape(bshape)
+    return out.astype(orig_dtype)

@@ -151,3 +151,54 @@ def test_bf16_and_remat_training(toy_dir, tmp_path):
     # params stay fp32
     leaf = jax.tree.leaves(state.params)[0]
     assert leaf.dtype == jnp.float32
+
+
+def test_val_metrics_oracle_match_reference_semantics(toy_dir, tmp_path):
+    """trainer.evaluate's val_dice / val_ged oracle-matched against the
+    reference's validation metric formulas (lightning_experiment.py:855-891):
+    per image, dice = the GED backend's (P=1, G) mean dice of the mean
+    prediction vs every rater; ged from the same backend; batch means."""
+    import importlib.util
+
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    spec = importlib.util.spec_from_file_location(
+        "ged_fast", "/root/reference/evaluation/metrics/ged_fast.py")
+    try:
+        ged_fast = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(ged_fast)
+    except Exception:
+        pytest.skip("reference ged_fast unavailable")
+
+    cfg = _cfg(tmp_path, extra=["trainer.max_epochs=1"])
+    trainer = Trainer(cfg)
+    train_loader, val_loader = _loaders(toy_dir)
+    state = trainer.fit(train_loader, None)
+    got = trainer.evaluate(state, val_loader, epoch=0)
+
+    # replay evaluate()'s prediction path with the same keys
+    from diffuncertainty_tpu.data.augment import normalize_batch
+
+    params = {**state.params, **(state.model_state or {})}
+    pred_j = jax.jit(trainer._mean_prediction)
+    rng = jax.random.key(cfg.seed + 1000 + 0)
+    exp_dices, exp_geds = [], []
+    for batch in val_loader:
+        rng, k1, k2 = jax.random.split(rng, 3)
+        images = normalize_batch(jnp.asarray(batch["image"]), trainer.aug_cfg)
+        probs = pred_j(params, images, k2)
+        seg = np.asarray(batch["seg"])
+        valid = np.asarray(batch["valid"])
+        for b in np.nonzero(valid)[0]:
+            res = ged_fast.ged_binary_fast(
+                torch.from_numpy(np.asarray(probs[b]))[None].permute(0, 3, 1, 2),
+                torch.from_numpy(seg[b]),
+                ignore_index=None,
+                additional_metrics=["dice"],
+            )
+            exp_dices.append(float(res["dice"]))
+            exp_geds.append(float(res["ged"]))
+    np.testing.assert_allclose(got["val_dice"], np.mean(exp_dices), atol=1e-5)
+    np.testing.assert_allclose(got["val_ged"], np.mean(exp_geds), atol=1e-5)
