@@ -14,6 +14,20 @@ Rebuilt here against this framework's ``MultiRaterDataset`` on-disk contract
 (``preprocessed/images``, ``labels/{stem}_{rater:02d}_mask.npy``,
 ``augmented/<shift>/images``) — with the OOD shifts taken from ``data/ood.py``
 instead of a separate augmentation script.
+
+Expected input artifact
+-----------------------
+This importer starts from the *aggregated pickle* (the one the reference's
+``process_orig_lidc.py`` consumes): a Python pickle containing a dict (or
+list of dicts) with, per nodule crop, keys ``image`` (2D float array,
+128x128), ``masks`` (list/stack of 4 binary rater masks), and ``series_uid``
+(DICOM series id used for patient mapping), plus a metadata CSV with
+``Series UID`` -> ``Patient ID`` columns. That pickle is produced upstream by
+the pylidc DICOM->crop stage (``save_cropped_nodules_2d.py``), which needs
+the ~120 GB LIDC-IDRI DICOM archive and the pylidc package — both external
+to this environment, so that stage is intentionally NOT rebuilt here; fetch
+the aggregated pickle (or run the reference script against the archive) and
+point ``--pickle``/``--metadata`` at the results.
 """
 
 from __future__ import annotations

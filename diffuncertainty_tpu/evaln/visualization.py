@@ -428,3 +428,48 @@ def uncertainty_panel(
     fig.savefig(out_path, dpi=120)
     plt.close(fig)
     return Path(out_path)
+
+
+def plot_tta_augs(
+    image,
+    out_path: str | Path,
+    *,
+    n: int = 8,
+    tta_config=None,
+    seed: int = 0,
+):
+    """Debug grid of TTA draws: augmented image and its inversion round trip
+    (the reference's ``global_utils/plot_tta_augs.py``)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import jax
+    import jax.numpy as jnp
+
+    from ..sampling.tta import TTAConfig, apply_tta, invert_tta, sample_tta_params
+
+    cfg = tta_config or TTAConfig()
+    img = jnp.asarray(image, jnp.float32)
+    if img.ndim == 2:
+        img = img[..., None]
+    h, w = img.shape[:2]
+    batch = jnp.broadcast_to(img[None], (n,) + img.shape)
+    params = sample_tta_params(cfg, jax.random.key(seed), n, h, w)
+    aug = apply_tta(batch, params)
+    back = invert_tta(aug, params)
+
+    fig, axes = plt.subplots(3, n, figsize=(1.8 * n, 5.6))
+    for i in range(n):
+        for row, arr, title in ((0, batch, "input"), (1, aug, "augmented"),
+                                (2, back, "inverted")):
+            a = np.asarray(arr[i])
+            axes[row, i].imshow(a[..., 0] if a.shape[-1] not in (3, 4) else a,
+                                cmap="gray")
+            axes[row, i].set_xticks([]), axes[row, i].set_yticks([])
+            if i == 0:
+                axes[row, i].set_ylabel(title, fontsize=9)
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=120)
+    plt.close(fig)
+    return Path(out_path)

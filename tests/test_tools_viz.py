@@ -241,3 +241,11 @@ def test_uncertainty_panel(tmp_path, rng):
         })
     out = uncertainty_panel({"records": records}, tmp_path / "panel.png")
     assert out.exists() and out.stat().st_size > 0
+
+
+def test_plot_tta_augs(tmp_path, rng):
+    from diffuncertainty_tpu.evaln.visualization import plot_tta_augs
+
+    img = rng.random((32, 32)).astype("float32")
+    out = plot_tta_augs(img, tmp_path / "tta.png", n=4)
+    assert out.exists() and out.stat().st_size > 0

@@ -201,3 +201,50 @@ def test_tta_separable_vs_exact_round_trip():
         back = np.asarray(invert_tta(apply_tta(x, params), params))
         np.testing.assert_allclose(back[inner], np.asarray(x)[inner], atol=0.08)
         np.testing.assert_allclose(back.sum(-1), 1.0, atol=1e-5)
+
+
+def test_warp_backends_vs_cv2_reference_engine(rng):
+    """Quantify the TTA warp delta against cv2.warpAffine — the engine the
+    reference's TTA inversion actually uses (test_2D.py:174-288). The
+    composed-resample warp must match cv2 to interpolation round-off; the
+    separable warp adds the double-interpolation delta (bounded, interior)."""
+    import cv2
+
+    h = w = 64
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    img = (np.sin(xx / 9) * np.cos(yy / 7) + 0.5 * np.sin((xx + yy) / 11)).astype(np.float32)
+    imgs = jnp.asarray(np.broadcast_to(img[..., None], (4, h, w, 2)).copy())
+
+    ang = rng.uniform(-22.5, 22.5, 4).astype(np.float32)
+    sc = (1 + rng.uniform(-0.2, 0.2, 4)).astype(np.float32)
+    m = np.asarray(invert_affine(rotation_matrix(jnp.asarray(ang), jnp.asarray(sc),
+                                                 ((w - 1) / 2, (h - 1) / 2))))
+
+    for mode, cv2_border in [("replicate", cv2.BORDER_REPLICATE),
+                             ("constant", cv2.BORDER_CONSTANT)]:
+        ours = np.asarray(warp_affine(imgs, jnp.asarray(m), border_mode=mode))
+        sep = np.asarray(warp_affine_separable(
+            imgs, jnp.asarray(m), border_mode=mode, margin_x=w, margin_y=h))
+        for b in range(4):
+            ref = cv2.warpAffine(
+                np.asarray(imgs[b]), m[b], (w, h),
+                flags=cv2.INTER_LINEAR | cv2.WARP_INVERSE_MAP,
+                borderMode=cv2_border, borderValue=0.0,
+            )
+            # composed warp == cv2 up to fixed-point interpolation round-off
+            # (cv2 uses 5-bit fractional weights -> ~2^-5 * local variation)
+            d_exact = np.abs(ours[b] - ref)
+            assert d_exact.max() < 0.04, (mode, b, d_exact.max())
+            # separable warp: double interpolation. Pointwise deltas are at
+            # smoothing scale wherever the interpolation support is smooth —
+            # i.e. away from the synthetic zero edge a constant border cuts
+            # into the frame — so compare on pixels whose source is >=2 px
+            # inside; globally the mean delta stays small.
+            gx, gy = np.meshgrid(np.arange(w, dtype=np.float64),
+                                 np.arange(h, dtype=np.float64))
+            sx = m[b, 0, 0] * gx + m[b, 0, 1] * gy + m[b, 0, 2]
+            sy = m[b, 1, 0] * gx + m[b, 1, 1] * gy + m[b, 1, 2]
+            inside = (sx >= 2) & (sx <= w - 3) & (sy >= 2) & (sy <= h - 3)
+            d_sep = np.abs(sep[b] - ref)
+            assert d_sep[inside].max() < 0.08, (mode, b, d_sep[inside].max())
+            assert d_sep.mean() < 0.01, (mode, b, d_sep.mean())
