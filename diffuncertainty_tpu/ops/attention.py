@@ -48,17 +48,13 @@ def qkv_attention(
     scale = 1.0 / jnp.sqrt(jnp.sqrt(jnp.asarray(ch, dtype=jnp.float32)))
     scale = scale.astype(qkv.dtype)
 
-    from .pallas_attention import attention_single_block, pallas_attention_usable
+    from .pallas_attention import pallas_attention_usable, qkv_attention_fused
 
     if pallas_attention_usable(t, qkv.dtype):
-        # VMEM-resident single-block kernel: no HBM score matrix. Fold
-        # (batch, heads) into the grid axis; (T, ch) per cell.
-        def fold(x):
-            return jnp.transpose(x, (0, 2, 1, 3)).reshape(b * num_heads, t, ch)
-
-        o = attention_single_block(fold(q * scale), fold(k * scale), fold(v))
-        o = o.reshape(b, num_heads, t, ch).transpose(0, 2, 1, 3)
-        return o.reshape(b, t, c)
+        # VMEM-resident single-block kernel reading (T, ch) head tiles
+        # straight out of the fused projection: no HBM score matrix, no
+        # transpose glue. ch is static, so the scale is a python float.
+        return qkv_attention_fused(qkv, num_heads, float(ch) ** -0.25)
 
     # weight[b,h,t,s] = sum_c q[b,t,h,c] k[b,s,h,c]
     weight = jnp.einsum("bthc,bshc->bhts", q * scale, k * scale, precision=precision)

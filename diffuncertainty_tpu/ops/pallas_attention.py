@@ -72,6 +72,58 @@ def attention_single_block(
     )(q, k, v)
 
 
+def _qkv_kernel(qkv_ref, o_ref, *, num_heads: int, ch: int, scale2: float):
+    # one batch row per cell; heads statically unrolled (score tile reused).
+    # Everything stays 2-D — Mosaic rejects 3-D/4-D squeezes and grouping
+    # reshapes ("unsupported shape cast"); plain lane slices lower fine.
+    x = qkv_ref[0]  # (T, 3C), channel layout [h0: q|k|v, h1: q|k|v, ...]
+    for h in range(num_heads):
+        base = 3 * ch * h
+        q = x[:, base : base + ch]
+        k = x[:, base + ch : base + 2 * ch]
+        v = x[:, base + 2 * ch : base + 3 * ch]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale2  # scale after the f32 accumulation (better than bf16 q*scale)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[0, :, ch * h : ch * (h + 1)] = o.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "scale", "interpret"))
+def qkv_attention_fused(
+    qkv: jnp.ndarray, num_heads: int, scale: float, *, interpret: bool = False
+) -> jnp.ndarray:
+    """Attention straight off the fused (B, T, 3C) qkv projection.
+
+    The ADM legacy head split keeps head h's packed q|k|v contiguous at
+    channels [3ch*h, 3ch*(h+1)), so the kernel slices heads by lane offset
+    straight out of the projection — no transpose/reshape glue (which cost
+    more device time than the kernel itself in the round-2 profile).
+    ``scale`` is the reference's per-operand 1/sqrt(sqrt(ch)); applied as
+    scale^2 on the f32-accumulated scores.
+    """
+    b, t, c3 = qkv.shape
+    c = c3 // 3
+    ch = c // num_heads
+    kernel = functools.partial(
+        _qkv_kernel, num_heads=num_heads, ch=ch, scale2=float(scale) ** 2
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[pl.BlockSpec((1, t, 3 * c), lambda i: (i, 0, 0))],
+        out_specs=pl.BlockSpec((1, t, c), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, t, c), qkv.dtype),
+        interpret=interpret,
+    )(qkv)
+
+
 def pallas_attention_usable(t: int, dtype) -> bool:
     """Gate: TPU backend, bf16 inputs (the fp32 path keeps HIGHEST-precision
     XLA dots for <1e-5 reference parity), token count within the

@@ -41,3 +41,19 @@ def test_xla_fallback_path(rng):
     got = fused_group_norm_act(x, s, b, act="silu", use_pallas=False)
     ref = jax.nn.silu(group_norm_32(x, s, b))
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
+
+
+def test_qkv_attention_fused_matches_xla(rng):
+    """The fused-qkv single-block kernel (BlockSpec head slicing, scale^2 on
+    f32 scores) matches the XLA legacy-split attention."""
+    import jax
+    import jax.numpy as jnp
+
+    from diffuncertainty_tpu.ops.attention import qkv_attention
+    from diffuncertainty_tpu.ops.pallas_attention import qkv_attention_fused
+
+    b, t, c, heads = 2, 64, 64, 4
+    qkv = jnp.asarray(rng.standard_normal((b, t, 3 * c)), jnp.float32)
+    ref = qkv_attention(qkv, heads)
+    got = qkv_attention_fused(qkv, heads, float(c // heads) ** -0.25, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
