@@ -81,12 +81,15 @@ def build_model(cfg: ExperimentConfig) -> BuiltModel:
             stage1_channels=32 if net.hrnet_width <= 24 else 64,
             final_dropout=dropout_spec.max_rate,
         )
+        import jax.numpy as jnp
+
         module = HRNet(
             num_classes=net.out_channels,
             spec=spec,
             ssn=au_type == "ssn",
             ssn_rank=model_cfg.ssn_rank,
             ssn_eps=model_cfg.ssn_eps,
+            dtype=jnp.bfloat16 if cfg.trainer.precision == "bf16" else jnp.float32,
         )
         return BuiltModel(
             module=module,

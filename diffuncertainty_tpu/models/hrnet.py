@@ -20,6 +20,8 @@ training steps must thread ``mutable=["batch_stats"]``.
 from __future__ import annotations
 
 import dataclasses
+from typing import Any
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -29,16 +31,18 @@ from .unet import ChannelDropout, UnetOutput
 _BN_MOMENTUM = 0.9  # flax convention: torch momentum 0.1
 
 
-def _bn(name: str):
+def _bn(name: str, dtype=None):
+    # dtype = compute dtype; params/running stats stay fp32 (param_dtype)
     return nn.BatchNorm(
-        use_running_average=None, momentum=_BN_MOMENTUM, epsilon=1e-5, name=name
+        use_running_average=None, momentum=_BN_MOMENTUM, epsilon=1e-5, name=name,
+        dtype=dtype,
     )
 
 
-def _conv(ch: int, k: int, stride: int = 1, name: str | None = None):
+def _conv(ch: int, k: int, stride: int = 1, name: str | None = None, dtype=None):
     pad = ((k // 2, k // 2), (k // 2, k // 2)) if k > 1 else "VALID"
     return nn.Conv(ch, (k, k), strides=(stride, stride), padding=pad,
-                   use_bias=False, name=name)
+                   use_bias=False, name=name, dtype=dtype)
 
 
 def _upsample_to(x: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
@@ -50,20 +54,22 @@ class BasicBlock(nn.Module):
     planes: int
     stride: int = 1
     dropout: float = 0.0
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool):
         residual = x
-        out = _conv(self.planes, 3, self.stride, "conv1")(x)
-        out = _bn("bn1")(out, use_running_average=not train)
+        dt = self.dtype
+        out = _conv(self.planes, 3, self.stride, "conv1", dtype=dt)(x)
+        out = _bn("bn1", dtype=dt)(out, use_running_average=not train)
         out = jax.nn.relu(out)
         if self.dropout > 0.0:
             out = ChannelDropout(self.dropout, name="dropout")(out)
-        out = _conv(self.planes, 3, 1, "conv2")(out)
-        out = _bn("bn2")(out, use_running_average=not train)
+        out = _conv(self.planes, 3, 1, "conv2", dtype=dt)(out)
+        out = _bn("bn2", dtype=dt)(out, use_running_average=not train)
         if self.stride != 1 or x.shape[-1] != self.planes:
-            residual = _conv(self.planes, 1, self.stride, "down_conv")(x)
-            residual = _bn("down_bn")(residual, use_running_average=not train)
+            residual = _conv(self.planes, 1, self.stride, "down_conv", dtype=dt)(x)
+            residual = _bn("down_bn", dtype=dt)(residual, use_running_average=not train)
         return jax.nn.relu(out + residual)
 
 
@@ -71,19 +77,21 @@ class Bottleneck(nn.Module):
     planes: int
     stride: int = 1
     expansion: int = 4
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool):
         residual = x
-        out = _conv(self.planes, 1, 1, "conv1")(x)
-        out = jax.nn.relu(_bn("bn1")(out, use_running_average=not train))
-        out = _conv(self.planes, 3, self.stride, "conv2")(out)
-        out = jax.nn.relu(_bn("bn2")(out, use_running_average=not train))
-        out = _conv(self.planes * self.expansion, 1, 1, "conv3")(out)
-        out = _bn("bn3")(out, use_running_average=not train)
+        dt = self.dtype
+        out = _conv(self.planes, 1, 1, "conv1", dtype=dt)(x)
+        out = jax.nn.relu(_bn("bn1", dtype=dt)(out, use_running_average=not train))
+        out = _conv(self.planes, 3, self.stride, "conv2", dtype=dt)(out)
+        out = jax.nn.relu(_bn("bn2", dtype=dt)(out, use_running_average=not train))
+        out = _conv(self.planes * self.expansion, 1, 1, "conv3", dtype=dt)(out)
+        out = _bn("bn3", dtype=dt)(out, use_running_average=not train)
         if self.stride != 1 or x.shape[-1] != self.planes * self.expansion:
-            residual = _conv(self.planes * self.expansion, 1, self.stride, "down_conv")(x)
-            residual = _bn("down_bn")(residual, use_running_average=not train)
+            residual = _conv(self.planes * self.expansion, 1, self.stride, "down_conv", dtype=dt)(x)
+            residual = _bn("down_bn", dtype=dt)(residual, use_running_average=not train)
         return jax.nn.relu(out + residual)
 
 
@@ -93,6 +101,7 @@ class HRModule(nn.Module):
     num_channels: tuple[int, ...]
     num_blocks: int = 4
     dropout: tuple[float, ...] | None = None
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, xs: list[jnp.ndarray], train: bool) -> list[jnp.ndarray]:
@@ -103,7 +112,7 @@ class HRModule(nn.Module):
             rate = self.dropout[i] if self.dropout else 0.0
             for b in range(self.num_blocks):
                 x = BasicBlock(self.num_channels[i], dropout=rate,
-                               name=f"branch{i}_block{b}")(x, train)
+                               name=f"branch{i}_block{b}", dtype=self.dtype)(x, train)
             ys.append(x)
         if n == 1:
             return ys
@@ -116,16 +125,16 @@ class HRModule(nn.Module):
                 if j == i:
                     t = ys[j]
                 elif j > i:  # lower resolution -> 1x1 conv + upsample
-                    t = _conv(self.num_channels[i], 1, 1, f"fuse{i}_{j}_conv")(ys[j])
-                    t = _bn(f"fuse{i}_{j}_bn")(t, use_running_average=not train)
+                    t = _conv(self.num_channels[i], 1, 1, f"fuse{i}_{j}_conv", dtype=self.dtype)(ys[j])
+                    t = _bn(f"fuse{i}_{j}_bn", dtype=self.dtype)(t, use_running_average=not train)
                     t = _upsample_to(t, h, w)
                 else:  # higher resolution -> chain of stride-2 convs
                     t = ys[j]
                     for k in range(i - j):
                         last = k == i - j - 1
                         ch = self.num_channels[i] if last else self.num_channels[j]
-                        t = _conv(ch, 3, 2, f"fuse{i}_{j}_down{k}_conv")(t)
-                        t = _bn(f"fuse{i}_{j}_down{k}_bn")(t, use_running_average=not train)
+                        t = _conv(ch, 3, 2, f"fuse{i}_{j}_down{k}_conv", dtype=self.dtype)(t)
+                        t = _bn(f"fuse{i}_{j}_down{k}_bn", dtype=self.dtype)(t, use_running_average=not train)
                         if not last:
                             t = jax.nn.relu(t)
                 acc = t if acc is None else acc + t
@@ -154,19 +163,24 @@ class HRNet(nn.Module):
     ssn: bool = False
     ssn_rank: int = 10
     ssn_eps: float = 1e-5
+    dtype: Any = None  # compute dtype; params/BN stats stay fp32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False, *, mean_only: bool = False) -> UnetOutput:
         spec = self.spec
+        dt = self.dtype
+        orig_dtype = x.dtype
+        if dt is not None:
+            x = x.astype(dt)
         in_h, in_w = x.shape[1], x.shape[2]
         # stem: two stride-2 convs
-        h = _conv(64, 3, 2, "stem_conv1")(x)
-        h = jax.nn.relu(_bn("stem_bn1")(h, use_running_average=not train))
-        h = _conv(64, 3, 2, "stem_conv2")(h)
-        h = jax.nn.relu(_bn("stem_bn2")(h, use_running_average=not train))
+        h = _conv(64, 3, 2, "stem_conv1", dtype=dt)(x)
+        h = jax.nn.relu(_bn("stem_bn1", dtype=dt)(h, use_running_average=not train))
+        h = _conv(64, 3, 2, "stem_conv2", dtype=dt)(h)
+        h = jax.nn.relu(_bn("stem_bn2", dtype=dt)(h, use_running_average=not train))
         # layer1: 4 bottlenecks
         for b in range(4):
-            h = Bottleneck(spec.stage1_channels, name=f"layer1_block{b}")(h, train)
+            h = Bottleneck(spec.stage1_channels, name=f"layer1_block{b}", dtype=dt)(h, train)
 
         # transitions + stages
         branches = [h]
@@ -176,14 +190,14 @@ class HRNet(nn.Module):
                 if i < len(branches):
                     src = branches[i]
                     if src.shape[-1] != ch:
-                        t = _conv(ch, 3, 1, f"t{stage_idx}_{i}_conv")(src)
-                        t = jax.nn.relu(_bn(f"t{stage_idx}_{i}_bn")(t, use_running_average=not train))
+                        t = _conv(ch, 3, 1, f"t{stage_idx}_{i}_conv", dtype=dt)(src)
+                        t = jax.nn.relu(_bn(f"t{stage_idx}_{i}_bn", dtype=dt)(t, use_running_average=not train))
                         new_branches.append(t)
                     else:
                         new_branches.append(src)
                 else:  # new lower-resolution branch from the last existing one
-                    t = _conv(ch, 3, 2, f"t{stage_idx}_{i}_conv")(branches[-1])
-                    t = jax.nn.relu(_bn(f"t{stage_idx}_{i}_bn")(t, use_running_average=not train))
+                    t = _conv(ch, 3, 2, f"t{stage_idx}_{i}_conv", dtype=dt)(branches[-1])
+                    t = jax.nn.relu(_bn(f"t{stage_idx}_{i}_bn", dtype=dt)(t, use_running_average=not train))
                     new_branches.append(t)
             n_mod = spec.num_modules[stage_idx]
             drop = tuple(
@@ -193,7 +207,7 @@ class HRNet(nn.Module):
             for m in range(n_mod):
                 new_branches = HRModule(
                     tuple(channels), spec.num_blocks, dropout=drop,
-                    name=f"stage{stage_idx + 2}_mod{m}",
+                    name=f"stage{stage_idx + 2}_mod{m}", dtype=dt,
                 )(new_branches, train)
             branches = new_branches
 
@@ -212,6 +226,8 @@ class HRNet(nn.Module):
         feats = jnp.concatenate(
             [branches[0]] + [_upsample_to(b, h0, w0) for b in branches[1:]], axis=-1
         )
+
+        feats = feats.astype(orig_dtype)  # heads keep input-dtype numerics
 
         def last_layer(name: str, out_ch: int):
             # torch nn.Conv2d defaults: both head convs carry a bias
