@@ -57,3 +57,24 @@ def test_qkv_attention_fused_matches_xla(rng):
     ref = qkv_attention(qkv, heads)
     got = qkv_attention_fused(qkv, heads, float(c // heads) ** -0.25, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_qkv_attention_xla_twin_and_grads(rng):
+    """The XLA twin used for the kernel's custom_vjp backward matches
+    qkv_attention exactly, value and gradient (so bf16 training through the
+    Pallas forward differentiates correctly)."""
+    import jax
+    import jax.numpy as jnp
+
+    from diffuncertainty_tpu.ops.attention import qkv_attention
+    from diffuncertainty_tpu.ops.pallas_attention import _xla_qkv_attention
+
+    b, t, c, heads = 2, 32, 64, 4
+    qkv = jnp.asarray(rng.standard_normal((b, t, 3 * c)), jnp.float32)
+    scale = float(c // heads) ** -0.25
+    np.testing.assert_allclose(
+        np.asarray(_xla_qkv_attention(qkv, heads, scale)),
+        np.asarray(qkv_attention(qkv, heads)), atol=1e-5)
+    g1 = jax.grad(lambda x: jnp.sum(_xla_qkv_attention(x, heads, scale) ** 2))(qkv)
+    g2 = jax.grad(lambda x: jnp.sum(qkv_attention(x, heads) ** 2))(qkv)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-5)
