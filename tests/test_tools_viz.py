@@ -249,3 +249,23 @@ def test_plot_tta_augs(tmp_path, rng):
     img = rng.random((32, 32)).astype("float32")
     out = plot_tta_augs(img, tmp_path / "tta.png", n=4)
     assert out.exists() and out.stat().st_size > 0
+
+
+def test_bench_weights_npz_roundtrip(tmp_path, rng):
+    from diffuncertainty_tpu.tools.bench_weights import load_params_npz, save_params_npz
+
+    tree = {
+        "params": {
+            "conv": {"kernel": rng.random((3, 3, 2, 4)).astype("float32"),
+                     "bias": rng.random((4,)).astype("float32")},
+            "norm": {"scale": rng.random((4,)).astype("float32")},
+        }
+    }
+    path = save_params_npz(tree, tmp_path / "w.npz")
+    back = load_params_npz(path)
+    import jax
+    flat_a = jax.tree_util.tree_flatten_with_path(tree)[0]
+    flat_b = jax.tree_util.tree_flatten_with_path(back)[0]
+    assert [p for p, _ in flat_a] == [p for p, _ in flat_b]
+    for (_, a), (_, b) in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(a, b)
