@@ -29,12 +29,15 @@ import dataclasses
 from typing import Any
 
 import flax.linen as nn
+from flax.linen import dtypes as nn_dtypes
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from ..core.specs import DropoutSpec
 from ..ops.norm import group_norm_32, num_groups_for
 from ..ops.attention import qkv_attention
+from ..ops.member_fold import member_conv2d, member_dense
 from ..ops.resample import upsample2x, downsample_avgpool2x
 from ..ops.time_embed import timestep_embedding
 
@@ -68,37 +71,120 @@ def _act_fn(name: str):
     raise ValueError(f"Unsupported activation: {name}")
 
 
-_PAD3 = ((1, 1), (1, 1))  # torch Conv2d(k=3, padding=1) semantics for any stride
+def _stacked_init(init, members: int):
+    """Adapt a param initializer to a leading member axis (fan computed on the
+    per-member shape, one key per member)."""
+
+    def f(key, shape, dtype=jnp.float32):
+        keys = jax.random.split(key, members)
+        return jax.vmap(lambda k: init(k, shape[1:], dtype))(keys)
+
+    return f
+
+
+class MemberConv(nn.Module):
+    """``nn.Conv`` twin (same param tree: ``kernel`` HWIO + ``bias``) with an
+    optional member-folded mode.
+
+    ``members == 0``: identical math to ``nn.Conv`` (same ``lax.conv`` call,
+    dtype promotion, bias add) — fp32 reference parity is preserved bit-wise.
+    ``members == M``: params carry a leading ``(M, ...)`` axis (a stacked
+    ensemble pytree) and inputs are member-major folded rows ``(M*B, H, W,
+    C)``; the conv runs as a member-batched im2col matmul
+    (``ops/member_fold.py``) instead of vmap's slow grouped conv.
+    """
+
+    features: int
+    kernel_size: tuple[int, int] = (3, 3)
+    strides: int = 1
+    padding: int = 0  # symmetric spatial padding (torch Conv2d(k, p))
+    kernel_init: Any = nn.initializers.lecun_normal()
+    dtype: Any = None
+    members: int = 0
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kh, kw = self.kernel_size
+        cin = x.shape[-1]
+        lead = (self.members,) if self.members else ()
+        kinit = (_stacked_init(self.kernel_init, self.members) if self.members
+                 else self.kernel_init)
+        kernel = self.param("kernel", kinit, lead + (kh, kw, cin, self.features))
+        bias = self.param("bias", nn.initializers.zeros_init(), lead + (self.features,))
+        x, kernel, bias = nn_dtypes.promote_dtype(x, kernel, bias, dtype=self.dtype)
+        if self.members:
+            return member_conv2d(x, kernel, bias, stride=self.strides, pad=self.padding)
+        y = lax.conv_general_dilated(
+            x,
+            kernel,
+            (self.strides, self.strides),
+            ((self.padding, self.padding), (self.padding, self.padding)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return y + bias.reshape((1,) * (y.ndim - 1) + (-1,))
+
+
+class MemberDense(nn.Module):
+    """``nn.Dense`` twin (params ``kernel``/``bias``) with member-folded mode."""
+
+    features: int
+    kernel_init: Any = nn.initializers.lecun_normal()
+    dtype: Any = None
+    members: int = 0
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cin = x.shape[-1]
+        lead = (self.members,) if self.members else ()
+        kinit = (_stacked_init(self.kernel_init, self.members)
+                 if self.members else self.kernel_init)
+        kernel = self.param("kernel", kinit, lead + (cin, self.features))
+        bias = self.param("bias", nn.initializers.zeros_init(), lead + (self.features,))
+        x, kernel, bias = nn_dtypes.promote_dtype(x, kernel, bias, dtype=self.dtype)
+        if self.members:
+            return member_dense(x, kernel, bias)
+        y = lax.dot_general(x, kernel, (((x.ndim - 1,), (0,)), ((), ())))
+        return y + bias.reshape((1,) * (y.ndim - 1) + (-1,))
 
 
 def conv3x3(features: int, *, strides: int = 1, zero_init: bool = False, name=None,
-            dtype=None):
+            dtype=None, members: int = 0):
     init = nn.initializers.zeros_init() if zero_init else nn.initializers.lecun_normal()
-    return nn.Conv(
+    return MemberConv(
         features,
         (3, 3),
-        strides=(strides, strides),
-        padding=_PAD3,
+        strides=strides,
+        padding=1,
         kernel_init=init,
         name=name,
         dtype=dtype,
+        members=members,
     )
 
 
-def conv1x1(features: int, *, zero_init: bool = False, name=None, dtype=None):
+def conv1x1(features: int, *, zero_init: bool = False, name=None, dtype=None,
+            members: int = 0):
     init = nn.initializers.zeros_init() if zero_init else nn.initializers.lecun_normal()
-    return nn.Conv(features, (1, 1), padding="VALID", kernel_init=init, name=name,
-                   dtype=dtype)
+    return MemberConv(features, (1, 1), padding=0, kernel_init=init, name=name,
+                      dtype=dtype, members=members)
 
 
 class GroupNorm32(nn.Module):
-    """Learned-affine GroupNorm with float32 internals (see ops/norm.py)."""
+    """Learned-affine GroupNorm with float32 internals (see ops/norm.py).
+
+    With ``members == M`` the affine params carry a leading member axis and
+    batch rows are member-major folded blocks; the statistics are row-local
+    either way.
+    """
+
+    members: int = 0
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         c = x.shape[-1]
-        scale = self.param("scale", nn.initializers.ones_init(), (c,))
-        bias = self.param("bias", nn.initializers.zeros_init(), (c,))
+        lead = (self.members,) if self.members else ()
+        scale = self.param("scale", nn.initializers.ones_init(), lead + (c,))
+        bias = self.param("bias", nn.initializers.zeros_init(), lead + (c,))
         return group_norm_32(x, scale, bias, num_groups=num_groups_for(c))
 
 
@@ -133,45 +219,53 @@ class ResBlock(nn.Module):
     per_block: bool = True
     residual_dropout: float = 0.0
     dtype: Any = None  # compute dtype for convs/denses (params stay fp32)
+    members: int = 0
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, emb: jnp.ndarray | None = None) -> jnp.ndarray:
         act = _act_fn(self.act)
+        mm = self.members
         c_in = x.shape[-1]
-        h = GroupNorm32(name="in_norm")(x)
+        h = GroupNorm32(name="in_norm", members=mm)(x)
         h = act(h)
         if (not self.per_block) and self.dropout > 0.0:
             h = ChannelDropout(self.dropout, name="in_dropout")(h)
-        h = conv3x3(self.out_channels, name="in_conv", dtype=self.dtype)(h)
+        h = conv3x3(self.out_channels, name="in_conv", dtype=self.dtype, members=mm)(h)
 
         if emb is not None:
             emb_dim = 2 * self.out_channels if self.use_scale_shift_norm else self.out_channels
-            emb_out = nn.Dense(emb_dim, name="emb_proj", dtype=self.dtype)(act(emb)).astype(h.dtype)
+            emb_out = MemberDense(emb_dim, name="emb_proj", dtype=self.dtype,
+                                  members=mm)(act(emb)).astype(h.dtype)
             emb_out = emb_out[:, None, None, :]
             if self.use_scale_shift_norm:
                 scale, shift = jnp.split(emb_out, 2, axis=-1)
-                h = GroupNorm32(name="out_norm")(h) * (1 + scale) + shift
+                h = GroupNorm32(name="out_norm", members=mm)(h) * (1 + scale) + shift
                 h = act(h)
                 h = ChannelDropout(self.dropout, name="out_dropout")(h)
-                h = conv3x3(self.out_channels, zero_init=True, name="out_conv", dtype=self.dtype)(h)
+                h = conv3x3(self.out_channels, zero_init=True, name="out_conv",
+                            dtype=self.dtype, members=mm)(h)
             else:
                 h = h + emb_out
-                h = GroupNorm32(name="out_norm")(h)
+                h = GroupNorm32(name="out_norm", members=mm)(h)
                 h = act(h)
                 h = ChannelDropout(self.dropout, name="out_dropout")(h)
-                h = conv3x3(self.out_channels, zero_init=True, name="out_conv", dtype=self.dtype)(h)
+                h = conv3x3(self.out_channels, zero_init=True, name="out_conv",
+                            dtype=self.dtype, members=mm)(h)
         else:
-            h = GroupNorm32(name="out_norm")(h)
+            h = GroupNorm32(name="out_norm", members=mm)(h)
             h = act(h)
             h = ChannelDropout(self.dropout, name="out_dropout")(h)
-            h = conv3x3(self.out_channels, zero_init=True, name="out_conv", dtype=self.dtype)(h)
+            h = conv3x3(self.out_channels, zero_init=True, name="out_conv",
+                        dtype=self.dtype, members=mm)(h)
 
         if self.out_channels == c_in:
             skip = x
         elif self.use_conv_skip:
-            skip = conv3x3(self.out_channels, name="skip_conv", dtype=self.dtype)(x)
+            skip = conv3x3(self.out_channels, name="skip_conv", dtype=self.dtype,
+                           members=mm)(x)
         else:
-            skip = conv1x1(self.out_channels, name="skip_conv", dtype=self.dtype)(x)
+            skip = conv1x1(self.out_channels, name="skip_conv", dtype=self.dtype,
+                           members=mm)(x)
         skip = ChannelDropout(self.residual_dropout, name="residual_dropout")(skip)
         return skip + h
 
@@ -185,18 +279,21 @@ class MLPBlock(nn.Module):
     use_scale_shift_norm: bool = False
     act: str = "silu"
     dtype: Any = None
+    members: int = 0
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, emb: jnp.ndarray | None = None) -> jnp.ndarray:
         act = _act_fn(self.act)
+        mm = self.members
         c_in = x.shape[-1]
         c = self.expansion_factor * c_in
-        h = GroupNorm32(name="in_norm")(x)
-        h = conv1x1(c, name="in_conv", dtype=self.dtype)(h)
+        h = GroupNorm32(name="in_norm", members=mm)(x)
+        h = conv1x1(c, name="in_conv", dtype=self.dtype, members=mm)(h)
         h = act(h)
         if emb is not None:
             emb_dim = 2 * c if self.use_scale_shift_norm else c
-            emb_out = nn.Dense(emb_dim, name="emb_proj", dtype=self.dtype)(emb).astype(h.dtype)
+            emb_out = MemberDense(emb_dim, name="emb_proj", dtype=self.dtype,
+                                  members=mm)(emb).astype(h.dtype)
             emb_out = emb_out[:, None, None, :]
             if self.use_scale_shift_norm:
                 scale, shift = jnp.split(emb_out, 2, axis=-1)
@@ -204,11 +301,12 @@ class MLPBlock(nn.Module):
             else:
                 h = h + emb_out
         h = ChannelDropout(self.dropout, name="dropout")(h)
-        h = conv1x1(self.out_channels, name="out_conv", dtype=self.dtype)(h)
+        h = conv1x1(self.out_channels, name="out_conv", dtype=self.dtype, members=mm)(h)
         if self.out_channels == c_in:
             skip = x
         else:
-            skip = conv1x1(self.out_channels, name="skip_conv", dtype=self.dtype)(x)
+            skip = conv1x1(self.out_channels, name="skip_conv", dtype=self.dtype,
+                           members=mm)(x)
         return skip + h
 
 
@@ -217,16 +315,19 @@ class AttentionBlock(nn.Module):
 
     num_heads: int = 1
     dtype: Any = None
+    members: int = 0
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         b, hh, ww, c = x.shape
         xt = x.reshape(b, hh * ww, c)
-        normed = GroupNorm32(name="norm")(xt)
-        qkv = nn.Dense(3 * c, name="qkv", dtype=self.dtype)(normed)
+        normed = GroupNorm32(name="norm", members=self.members)(xt)
+        qkv = MemberDense(3 * c, name="qkv", dtype=self.dtype,
+                          members=self.members)(normed)
         h = qkv_attention(qkv, self.num_heads)
-        h = nn.Dense(c, kernel_init=nn.initializers.zeros_init(), name="proj_out",
-                     dtype=self.dtype)(h)
+        h = MemberDense(c, kernel_init=nn.initializers.zeros_init(),
+                        name="proj_out", dtype=self.dtype,
+                        members=self.members)(h)
         return (xt + h).reshape(b, hh, ww, c)
 
 
@@ -236,15 +337,18 @@ class Downsample(nn.Module):
     use_conv: bool
     channels_out: int | None = None
     dtype: Any = None
+    members: int = 0
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         if self.use_conv:
-            x = conv3x3(x.shape[-1], strides=2, name="op", dtype=self.dtype)(x)
+            x = conv3x3(x.shape[-1], strides=2, name="op", dtype=self.dtype,
+                        members=self.members)(x)
         else:
             x = downsample_avgpool2x(x)
         if self.channels_out is not None and self.channels_out != x.shape[-1]:
-            x = conv1x1(self.channels_out, name="channel_mapper", dtype=self.dtype)(x)
+            x = conv1x1(self.channels_out, name="channel_mapper", dtype=self.dtype,
+                        members=self.members)(x)
         return x
 
 
@@ -255,14 +359,17 @@ class Upsample(nn.Module):
     channels_out: int | None = None
     mode: str = "nearest"
     dtype: Any = None
+    members: int = 0
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         if self.channels_out is not None and self.channels_out != x.shape[-1]:
-            x = conv1x1(self.channels_out, name="channel_mapper", dtype=self.dtype)(x)
+            x = conv1x1(self.channels_out, name="channel_mapper", dtype=self.dtype,
+                        members=self.members)(x)
         x = upsample2x(x, method=self.mode)
         if self.use_conv:
-            x = conv3x3(x.shape[-1], name="conv", dtype=self.dtype)(x)
+            x = conv3x3(x.shape[-1], name="conv", dtype=self.dtype,
+                        members=self.members)(x)
         return x
 
 
@@ -305,6 +412,9 @@ class DiffUnet(nn.Module):
     encoder_only: bool = False
     dropout_spec: DropoutSpec = DropoutSpec()
     dtype: Any = jnp.float32  # compute dtype for conv/attention inputs
+    members: int = 0  # >0: member-folded stacked-ensemble execution
+    # (params carry a leading member axis; inputs are member-major folded
+    # rows (members*B, H, W, C) — see ops/member_fold.py)
 
     def _resolved_attention_resolutions(self) -> set[int]:
         n = len(self.channel_mult)
@@ -340,9 +450,11 @@ class DiffUnet(nn.Module):
             if t.ndim == 0:
                 t = jnp.broadcast_to(t, (x.shape[0],))
             emb = timestep_embedding(t, mc)
-            emb = nn.Dense(4 * mc, name="time_embed_0", dtype=self.dtype)(emb)
+            emb = MemberDense(4 * mc, name="time_embed_0", dtype=self.dtype,
+                              members=self.members)(emb)
             emb = act(emb)
-            emb = nn.Dense(4 * mc, name="time_embed_1", dtype=self.dtype)(emb)
+            emb = MemberDense(4 * mc, name="time_embed_1", dtype=self.dtype,
+                              members=self.members)(emb)
         else:
             if timesteps is not None:
                 raise ValueError("timesteps must be None when diffusion=False")
@@ -359,6 +471,7 @@ class DiffUnet(nn.Module):
                 per_block=spec.per_block,
                 residual_dropout=rate if spec.residual_connections else 0.0,
                 dtype=self.dtype,
+                members=self.members,
             )
 
         def make_block(ch_out: int, stage: str, depth: int, heads: int, name: str):
@@ -369,11 +482,12 @@ class DiffUnet(nn.Module):
                 layers.append(MLPBlock(ch_out, dropout=kw["dropout"],
                                        use_scale_shift_norm=self.use_scale_shift_norm,
                                        act=self.act, name=f"{name}_mlp",
-                                       dtype=self.dtype))
+                                       dtype=self.dtype, members=self.members))
             else:
                 layers.append(ResBlock(ch_out, name=f"{name}_res", **kw))
             if depth in attn_res:
-                layers.append(AttentionBlock(heads, name=f"{name}_attn", dtype=self.dtype))
+                layers.append(AttentionBlock(heads, name=f"{name}_attn",
+                                             dtype=self.dtype, members=self.members))
             return layers
 
         def apply_layers(layers, h, emb):
@@ -387,7 +501,7 @@ class DiffUnet(nn.Module):
             return h
 
         # --- encoder --------------------------------------------------------
-        h = conv3x3(mc, name="input_conv", dtype=self.dtype)(h)
+        h = conv3x3(mc, name="input_conv", dtype=self.dtype, members=self.members)(h)
         hs: list = []
         skip_flags: list[bool] = [False]
         hs_pending = [h]
@@ -409,7 +523,8 @@ class DiffUnet(nn.Module):
                           if self.new_upsample_method else None)
                 skip_flags[-1] = True
                 h = Downsample(self.use_downsample_conv, channels_out=ch_out,
-                               name=f"down{resolution}", dtype=self.dtype)(h)
+                               name=f"down{resolution}", dtype=self.dtype,
+                               members=self.members)(h)
                 hs_pending.append(h)
                 skip_flags.append(False)
 
@@ -435,7 +550,7 @@ class DiffUnet(nn.Module):
                              use_scale_shift_norm=self.use_scale_shift_norm,
                              act=self.act,
                              name=f"mid{self.num_middle_res_blocks - 1}_mlp",
-                             dtype=self.dtype)(h, emb)
+                             dtype=self.dtype, members=self.members)(h, emb)
             else:
                 h = ResBlock(ch, name=f"mid{self.num_middle_res_blocks - 1}_res", **kw)(h, emb)
         else:
@@ -481,6 +596,7 @@ class DiffUnet(nn.Module):
                         mode="bilinear" if self.new_upsample_method else "nearest",
                         name=f"up{resolution}",
                         dtype=self.dtype,
+                        members=self.members,
                     )(h)
                 block_idx += 1
 
@@ -488,9 +604,10 @@ class DiffUnet(nn.Module):
 
         # --- output heads ---------------------------------------------------
         def head(out_ch: int, name: str) -> jnp.ndarray:
-            g = GroupNorm32(name=f"{name}_norm")(features)
+            g = GroupNorm32(name=f"{name}_norm", members=self.members)(features)
             g = act(g)
-            return conv3x3(out_ch, zero_init=True, name=f"{name}_conv")(g)
+            return conv3x3(out_ch, zero_init=True, name=f"{name}_conv",
+                           members=self.members)(g)
 
         logits = head(self.out_channels, "out")
         logits = _final_act(self.final_act)(logits)

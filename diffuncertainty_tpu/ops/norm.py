@@ -28,6 +28,10 @@ def group_norm_32(
 
     Statistics are taken over all spatial positions and the channels within a
     group (the same reduction set as ``torch.nn.GroupNorm`` on NCHW).
+
+    ``scale``/``bias`` are ``(C,)``, or ``(M, C)`` for member-folded rows
+    (``ops/member_fold.py``): batch rows are M member-major blocks and each
+    block gets its member's affine.
     """
     c = x.shape[-1]
     groups = num_groups_for(c) if num_groups is None else num_groups
@@ -59,8 +63,13 @@ def group_norm_32(
     inv_c = jnp.repeat(inv, cpg, axis=-1)  # (B, C)
     mean_c = jnp.repeat(g_mean, cpg, axis=-1)
     scale_f = scale.astype(jnp.float32)
+    bias_f = bias.astype(jnp.float32)
+    if scale_f.ndim == 2:  # (M, C) member-folded affine
+        m = scale_f.shape[0]
+        scale_f = jnp.repeat(scale_f, batch // m, axis=0)  # (B, C)
+        bias_f = jnp.repeat(bias_f, batch // m, axis=0)
     a = inv_c * scale_f  # (B, C)
-    b = bias.astype(jnp.float32) - mean_c * a
+    b = bias_f - mean_c * a
     bshape = (batch,) + (1,) * len(spatial_axes) + (c,)
     out = xf * a.reshape(bshape) + b.reshape(bshape)
     return out.astype(orig_dtype)

@@ -37,6 +37,7 @@ import jax.numpy as jnp
 from ..models import ssn as ssn_lib
 from ..models.factory import BuiltModel
 from ..models.prob_unet import sample_latent
+from ..models.unet import DiffUnet
 from .tta import TTAConfig, apply_tta, invert_tta, sample_tta_params
 
 
@@ -45,10 +46,16 @@ class SamplerSpec:
     n_pred: int = 10
     n_members: int = 1
     member_mode: str = "single"  # single | params_stack | dropout
-    member_chunk: int | None = None  # chunk the member vmap (HBM ceiling);
-    # None -> fully vectorized. SURVEY §7: a fused (members x samples x B x
-    # H x W x C) diffusion stack can exceed HBM; lax.map with batch_size
-    # trades parallelism for peak memory without leaving the program.
+    member_chunk: int | None | str = "auto"  # chunk the member vmap:
+    # an int runs members through lax.map in blocks of that size (HBM
+    # ceiling — SURVEY §7: a fused (members x samples x B x H x W x C)
+    # diffusion stack can exceed HBM); None -> fully vectorized vmap.
+    # "auto" (default) resolves to 1 for params_stack on TPU and None
+    # elsewhere: vmap lowers stacked-weight convs to feature-grouped convs
+    # whose cost GROWS with group count on v5e — measured 16-member
+    # unet16@128 ensemble+TTA bf16: chunk1 86.6 img/s > chunk2 83.3 >
+    # chunk4 78.9 > full vmap 73.6 — so a member-scan of plain dense
+    # programs is both fastest and lowest-memory.
     tta: bool = False
     tta_config: TTAConfig = TTAConfig()
     same_dropout: bool = False
@@ -57,6 +64,13 @@ class SamplerSpec:
     flat_fold: bool = True  # fold (member, sample) rounds into the batch axis
     # for shared-param members (TPU-fast, distributionally identical; see the
     # flat-row-path note in make_sampler). False -> nested-vmap structure.
+    member_fold: bool = False  # params_stack only: execute stacked members as
+    # member-batched matmuls on folded rows (ops/member_fold.py) instead of
+    # vmap. Opt-in: measured 6.5x SLOWER than the vmap grouped-conv lowering
+    # on v5e for the 16-member unet16@128 ensemble+TTA workload (11.2 vs 73.6
+    # img/s, and ~5x the compile time) — the im2col patch/tap traffic costs
+    # more than the grouped conv saves. Kept for regimes where the grouped
+    # conv degenerates (it is numerically pinned to the vmap path by tests).
     external_generative_members: int = 0  # generative members contributed by
     # sibling samplers in a heterogeneous ensemble; counted into the global
     # multiple_generative decision (reference test_2D.py:1149-1160)
@@ -100,11 +114,39 @@ def make_sampler(built: BuiltModel, spec: SamplerSpec) -> Callable:
     num_steps = spec.diffusion_num_steps or built.diffusion_num_steps
     sampler_type = spec.diffusion_sampler or built.diffusion_sampler_type
 
+    chunk: int | None
+    if spec.member_fold:
+        chunk = None  # folded execution replaces both vmap and chunking
+    elif spec.member_chunk == "auto":
+        chunk = (
+            1
+            if spec.member_mode == "params_stack" and jax.default_backend() == "tpu"
+            else None
+        )
+    else:
+        chunk = spec.member_chunk
+
+    # Member-folded stacked-ensemble execution (opt-in, see SamplerSpec
+    # .member_fold): rebuild the module with ``members=M`` so the stacked
+    # params apply as member-batched im2col matmuls on member-major folded
+    # rows (ops/member_fold.py) instead of vmap's feature-grouped convs.
+    fold_module = None
+    if (
+        spec.member_fold
+        and spec.member_mode == "params_stack"
+        and not spec.same_dropout
+        and isinstance(module, DiffUnet)
+        and module.members == 0
+        and au != "prob_unet"
+    ):
+        fold_module = module.clone(members=spec.n_members)
+    apply_module = fold_module if fold_module is not None else module
+
     def _apply(params, *args, dropout_key=None, method=None, **kw):
         rngs = {"dropout": dropout_key} if (needs_dropout and dropout_key is not None) else None
         if method is None:
-            return module.apply(params, *args, rngs=rngs, **kw)
-        return module.apply(params, *args, rngs=rngs, method=method, **kw)
+            return apply_module.apply(params, *args, rngs=rngs, **kw)
+        return apply_module.apply(params, *args, rngs=rngs, method=method, **kw)
 
     # ---- per-member group builders: (params, member_rng, images) -> (S,B,H,W,C)
     def softmax_group(params, member_rng, images):
@@ -264,8 +306,8 @@ def make_sampler(built: BuiltModel, spec: SamplerSpec) -> Callable:
         spec.flat_fold
         and spec.member_mode in ("single", "dropout")
         and not spec.same_dropout
-        and spec.member_chunk is None
-    )
+        and chunk is None
+    ) or fold_module is not None
     generative_count = (
         (n_members if member_is_generative else 0) + spec.external_generative_members
     )
@@ -285,8 +327,6 @@ def make_sampler(built: BuiltModel, spec: SamplerSpec) -> Callable:
             # softmax+TTA groups are tagged non-generative (test_2D.py:1246)
             group_is_generative=tuple([built.is_generative] * n_members),
         )
-
-    chunk = spec.member_chunk
 
     def sampler(params, images, rng):
         if use_flat:

@@ -145,3 +145,40 @@ def test_flat_dropout_sampler_under_data_sharding_matches():
     np.testing.assert_allclose(
         np.asarray(got.groups), np.asarray(ref.groups), atol=1e-6
     )
+
+
+def test_folded_member_stack_under_data_sharding_matches():
+    """The member-folded stacked-ensemble program (ops/member_fold.py) packs
+    members into batch rows; sharding those rows over the mesh must not
+    change the numbers vs the unsharded single-device run."""
+    cfg = load_config(
+        data="toy64", network="unet4", model="softmax", eu_method="none",
+        overrides=SMALL_NET,
+    )
+    built = build_model(cfg)
+    x = jnp.asarray(np.random.default_rng(7).random((8, 32, 32, 3)), jnp.float32)
+    params = built.module.init({"params": jax.random.key(0)}, x)
+    n_members = 4
+    stacked = jax.tree.map(
+        lambda p: jnp.stack([
+            p + 0.05 * jax.random.normal(jax.random.key(11 + i), p.shape, p.dtype)
+            for i in range(n_members)
+        ]),
+        params,
+    )
+    sampler = make_sampler(
+        built,
+        SamplerSpec(n_pred=1, n_members=n_members, member_mode="params_stack",
+                    member_fold=True),
+    )
+    key = jax.random.key(8)
+    ref = jax.jit(sampler)(stacked, x, key)
+
+    mesh = make_mesh((8, 1), ("data", "member"))
+    stacked_sh = replicate(stacked, mesh)
+    x_sh = jax.device_put(x, batch_sharding(mesh, x.ndim))
+    got = jax.jit(sampler)(stacked_sh, x_sh, key)
+
+    np.testing.assert_allclose(
+        np.asarray(got.groups), np.asarray(ref.groups), atol=1e-5
+    )

@@ -193,6 +193,26 @@ def test_member_chunking_matches_full_vmap():
     )
 
 
+def test_params_stack_member_scan_matches_vmap():
+    """chunk=1 (the TPU "auto" default for stacked ensembles — a member-scan
+    of plain dense programs, measured faster than vmap's grouped convs) must
+    reproduce the vmap path's numbers."""
+    built = _built(eu="dropout")
+    params = _randomized(built)
+    stacked = jax.tree.map(
+        lambda p: jnp.stack([p + 0.01 * i for i in range(3)]), params
+    )
+    images = jnp.asarray(np.random.default_rng(9).random((2, 16, 16, 3)), jnp.float32)
+    kw = dict(n_pred=2, n_members=3, member_mode="params_stack", tta=True)
+    vmapped = make_sampler(built, SamplerSpec(member_chunk=None, **kw))
+    scanned = make_sampler(built, SamplerSpec(member_chunk=1, **kw))
+    a = vmapped(stacked, images, jax.random.key(5))
+    b = scanned(stacked, images, jax.random.key(5))
+    np.testing.assert_allclose(
+        np.asarray(a.groups), np.asarray(b.groups), atol=1e-6
+    )
+
+
 def test_flat_fold_matches_vmap_when_deterministic():
     """With no stochastic ops (no dropout, no TTA), the flat-fold path and the
     nested-vmap path are the same pure forward and must agree exactly."""
