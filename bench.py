@@ -268,6 +268,24 @@ def main():
             k: round(abs(q_fast[k] - q_exact[k]), 5) for k in q_fast
         }
 
+    # ---- stacked distinct-weight ensemble (deep ensemble / SWAG draws) ----
+    # member_chunk="auto" resolves to a member-scan of plain dense programs
+    # on TPU — measured faster than vmap's feature-grouped convs (PARITY.md §1)
+    stacked = jax.tree.map(lambda x: jnp.stack([x] * N_SAMPLES), params)
+    stack_sampler = make_sampler(built16, SamplerSpec(
+        n_pred=1, n_members=N_SAMPLES, member_mode="params_stack",
+        tta=True, tta_config=TTA_CFG))
+    stack_k = make_fused_k(built16, stack_sampler)
+    stack_per_batch = slope_time(stack_k, (stacked, images), "ensemble stack")
+    result["ensemble_stack"] = {
+        "metric": "images/sec/chip, 16 distinct-weight members ensemble+TTA uncertainty inference, LIDC-2D 128px",
+        "value": round(BATCH / stack_per_batch, 2),
+        "unit": "images/sec/chip",
+        "p50_latency_ms": round(stack_per_batch * 1000, 2),
+        "execution": "member-scan over the stacked parameter pytree (member_chunk auto)",
+        "note": "reference loops members with CPU<->GPU model hopping (test_2D.py:711-727)",
+    }
+
     # ---- diffusion sampler throughput (the namesake path) ----
     diff_overrides = ["data.batch_size=%d" % BATCH, "trainer.precision=bf16",
                       "model.diffusion_sampling.num_steps=10"] + SMALL_NET

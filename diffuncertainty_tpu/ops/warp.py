@@ -15,8 +15,11 @@ Semantics matched to cv2:
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def invert_affine(m: jnp.ndarray) -> jnp.ndarray:
@@ -135,10 +138,52 @@ def warp_affine(
     return out
 
 
+@functools.lru_cache(maxsize=None)
+def separable_margins(
+    rotation_limit: float, smin: float, smax: float, flip_possible: bool,
+    height: int, width: int,
+) -> tuple[int, int]:
+    """Static bounds on the separable warp's per-pass translation (pixels).
+
+    For the flip/rotate/scale transform family (the training-augment and TTA
+    geometric pipelines): enumerates an angle grid x scale extremes x flip,
+    forward and inverse maps, with host numpy; offsets are affine in the row
+    index so corners suffice per matrix. 5% headroom + 2 px guard. Cached —
+    call with static (config) floats.
+    """
+    angles = np.linspace(-rotation_limit, rotation_limit, 65)
+    scales = np.linspace(max(smin, 1e-3), smax, 9)
+    cx, cy = (width - 1) / 2.0, (height - 1) / 2.0
+    flips = (False, True) if flip_possible else (False,)
+    e_x = e_y = 1.0
+    for ang in angles:
+        a = np.deg2rad(ang)
+        for sc in scales:
+            alpha, beta = sc * np.cos(a), sc * np.sin(a)
+            rot = np.array(
+                [[alpha, beta, (1 - alpha) * cx - beta * cy],
+                 [-beta, alpha, beta * cx + (1 - alpha) * cy],
+                 [0.0, 0.0, 1.0]]
+            )
+            for flip in flips:
+                fm = np.array([[-1.0, 0.0, width - 1.0], [0.0, 1.0, 0.0], [0, 0, 1.0]])
+                fwd = rot @ fm if flip else rot
+                for m in (fwd, np.linalg.inv(fwd)):
+                    (m00, m01, m02), (m10, m11, m12) = m[0], m[1]
+                    # the warp centers the per-image offset inside the
+                    # interpolation matrix; only the per-row residual
+                    # slope*(row - center)/scale hits the gather margin
+                    s_a = m00 - m01 * m10 / m11
+                    e_x = max(e_x, abs(m01 / m11) * (height - 1) / 2 / abs(s_a))
+                    e_y = max(e_y, abs(m10 / m11) * (width - 1) / 2)
+    return int(np.ceil(e_x * 1.05)) + 2, int(np.ceil(e_y * 1.05)) + 2
+
+
 def warp_affine_separable(
     images: jnp.ndarray,
     dst_to_src: jnp.ndarray,
     *,
+    interpolation: str = "bilinear",
     border_mode: str = "replicate",
     border_value: float = 0.0,
     margin_x: int | None = None,
@@ -179,10 +224,20 @@ def warp_affine_separable(
 
     ``margin_x/y`` bound ``|cA/sA|`` / ``|cB/sB|`` (the per-row translation
     in pixels). They must be static ints; defaults of W and H are always
-    safe for warps that keep the image in frame. TTA computes tight bounds
-    from its static config (``sampling/tta.py``).
+    safe for warps that keep the image in frame. :func:`separable_margins`
+    computes tight bounds from a static flip/rotate/scale config.
+
+    ``interpolation="nearest"``: each pass *selects* (0/1 interpolation
+    matrix + rounded translation tap), so values are preserved exactly —
+    safe for integer label masks. Differs from the composed-map nearest of
+    :func:`warp_affine` only where the x source coordinate, evaluated at the
+    rounded (instead of exact) y row, crosses a .5 boundary — a <= |m01/m11|/2
+    px perturbation that can flip the choice between two adjacent pixels.
     """
     b, h, w, c = images.shape
+    if interpolation not in ("bilinear", "nearest"):
+        raise NotImplementedError(interpolation)
+    nearest = interpolation == "nearest"
     if border_mode == "constant" and border_value != 0.0:
         raise NotImplementedError("separable constant border supports value 0 only")
     if border_mode not in ("constant", "replicate"):
@@ -207,13 +262,20 @@ def warp_affine_separable(
     # X pass: rows are (c, y); per-row offset varies with y
     rows = x.reshape(b, c * h, w)
     rows = _resample_rows_1d(rows, s_a, off0_a, slope_a, n_rep=c, n_rows=h,
-                             margin=e_x, replicate=replicate, l_out=w)
+                             margin=e_x, replicate=replicate, l_out=w,
+                             nearest=nearest)
     # Y pass on the transposed tensor: rows are (c, u); offsets vary with u
     xt = jnp.transpose(rows.reshape(b, c, h, w), (0, 1, 3, 2))  # (B,C,W,H)
     rows = xt.reshape(b, c * w, h)
     rows = _resample_rows_1d(rows, s_b, off0_b, slope_b, n_rep=c, n_rows=w,
-                             margin=e_y, replicate=replicate, l_out=h)
+                             margin=e_y, replicate=replicate, l_out=h,
+                             nearest=nearest)
     out = jnp.transpose(rows.reshape(b, c, w, h), (0, 3, 2, 1))  # (B,H,W,C)
+    if not replicate and nearest:
+        # nearest selection already yields exact 0 outside the frame (the 0/1
+        # interpolation matrix has all-zero columns for out-of-range rounded
+        # coords); no bleed to mask
+        return out.astype(orig_dtype)
     if not replicate:
         # Exact far-outside zeroing (same rule as warp_affine): the scaled
         # translate taps are spaced |s| apart, which would otherwise bleed
@@ -242,13 +304,16 @@ def _resample_rows_1d(
     margin: int,
     replicate: bool,
     l_out: int,
+    nearest: bool = False,
 ) -> jnp.ndarray:
     """Per-row 1-D affine resample: out[b,r,u] = rows[b,r](scale_b*u + off_b(row)).
 
     rows (B, n_rep*n_rows, L_in) with row index r = rep*n_rows + row;
     off_b(row) = off0_b + off_slope_b*row. Scale first (interpolation-matrix
     matmul over a margin-widened output), then per-row fractional translation
-    by off/scale (contiguous slice gather + 2-tap lerp).
+    by off/scale (contiguous slice gather + 2-tap lerp). ``nearest`` swaps
+    the bilinear weights for 0/1 selection (round-half-up, cv2 semantics) and
+    rounds the translation tap — pure value selection, label-safe.
     """
     b, r, l_in = rows.shape
     e = margin
@@ -263,14 +328,45 @@ def _resample_rows_1d(
     if replicate:
         coord = jnp.clip(coord, 0.0, l_in - 1.0)
     wk = jnp.arange(l_in, dtype=jnp.float32)
-    # (B, L_in, mid) bilinear weights; out-of-range coords get all-zero columns
-    kmat = jnp.maximum(0.0, 1.0 - jnp.abs(coord[:, None, :] - wk[None, :, None]))
-    sc = jnp.einsum("brw,bwj->brj", rows, kmat)  # (B, R, mid)
 
     row_idx = jnp.arange(n_rows, dtype=jnp.float32)
     residual = off_slope[:, None] * (row_idx[None] - (n_rows - 1) / 2.0)
     shift = residual / scale[:, None]  # (B, n_rows)
     shift = jnp.broadcast_to(shift[:, None, :], (b, n_rep, n_rows)).reshape(b, r)
+
+    if nearest:
+        # Selection at the scale stage: sc[j] holds pixel round(coord(j)).
+        # The translation stage then picks, per output lane u, between taps
+        # u+k and u+k+1 (sources scale*(u+k)+off_mid and one |scale| further).
+        # The *true* nearest pixel index round(scale*(u+shift)+off_mid) is
+        # computable elementwise, so compare it against tap0's pixel index
+        # and advance to tap1 iff tap0 is not it — exact whenever |scale|<=1
+        # (consecutive taps then cover every integer index); for |scale|>1
+        # (downscale) a skipped index can be off by one pixel, the same
+        # resampling-grid approximation the bilinear path makes.
+        k = jnp.floor(shift)
+        rc = jnp.floor(coord + 0.5)
+        kmat = (rc[:, None, :] == wk[None, :, None]).astype(rows.dtype)
+        sc = jnp.einsum("brw,bwj->brj", rows, kmat)  # (B, R, mid)
+        starts = jnp.clip(k.astype(jnp.int32) + e, 0, 2 * e)
+        shifted = _barrel_shift_rows(sc, starts, 2 * e)
+
+        u = jnp.arange(l_out, dtype=jnp.float32)
+        scale_r = jnp.broadcast_to(scale[:, None], (b, r))[..., None]
+        off_r = jnp.broadcast_to(off_mid[:, None], (b, r))[..., None]
+        src_tap0 = scale_r * (u[None, None] + k[..., None]) + off_r
+        src_true = scale_r * (u[None, None] + shift[..., None]) + off_r
+        if replicate:
+            src_tap0 = jnp.clip(src_tap0, 0.0, l_in - 1.0)
+            src_true = jnp.clip(src_true, 0.0, l_in - 1.0)
+        take_next = jnp.floor(src_true + 0.5) != jnp.floor(src_tap0 + 0.5)
+        return jnp.where(take_next, shifted[..., 1 : l_out + 1],
+                         shifted[..., :l_out])
+
+    # (B, L_in, mid) bilinear weights; out-of-range coords get all-zero columns
+    kmat = jnp.maximum(0.0, 1.0 - jnp.abs(coord[:, None, :] - wk[None, :, None]))
+    sc = jnp.einsum("brw,bwj->brj", rows, kmat)  # (B, R, mid)
+
     k = jnp.floor(shift)
     frac = (shift - k)[..., None]
     starts = jnp.clip(k.astype(jnp.int32) + e, 0, 2 * e)  # (B, R), >=0 by margin

@@ -21,18 +21,17 @@ descriptor-bound on TPU).
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..ops.warp import (
     compose_affine,
     hflip_matrix,
     invert_affine,
     rotation_matrix,
+    separable_margins,
     warp_affine,
     warp_affine_separable,
 )
@@ -69,45 +68,6 @@ class TTAParams(NamedTuple):
     margin_y: int = 0  # warp, computed from the (static) TTAConfig limits
 
 
-@functools.lru_cache(maxsize=None)
-def _separable_margins(
-    rotation_limit: float, smin: float, smax: float, flip_possible: bool,
-    height: int, width: int,
-) -> tuple[int, int]:
-    """Static bounds on the per-pass translation |cA/sA|, |cB/sB| (pixels).
-
-    Enumerates the TTA transform family (angle grid x scale extremes x flip,
-    forward and inverse maps) with host numpy; offsets are affine in the row
-    index so corners suffice per matrix. 5% headroom + 2 px guard.
-    """
-    angles = np.linspace(-rotation_limit, rotation_limit, 65)
-    scales = np.linspace(max(smin, 1e-3), smax, 9)
-    cx, cy = (width - 1) / 2.0, (height - 1) / 2.0
-    flips = (False, True) if flip_possible else (False,)
-    e_x = e_y = 1.0
-    for ang in angles:
-        a = np.deg2rad(ang)
-        for sc in scales:
-            alpha, beta = sc * np.cos(a), sc * np.sin(a)
-            rot = np.array(
-                [[alpha, beta, (1 - alpha) * cx - beta * cy],
-                 [-beta, alpha, beta * cx + (1 - alpha) * cy],
-                 [0.0, 0.0, 1.0]]
-            )
-            for flip in flips:
-                fm = np.array([[-1.0, 0.0, width - 1.0], [0.0, 1.0, 0.0], [0, 0, 1.0]])
-                fwd = rot @ fm if flip else rot
-                for m in (fwd, np.linalg.inv(fwd)):
-                    (m00, m01, m02), (m10, m11, m12) = m[0], m[1]
-                    # the warp centers the per-image offset inside the
-                    # interpolation matrix; only the per-row residual
-                    # slope*(row - center)/scale hits the gather margin
-                    s_a = m00 - m01 * m10 / m11
-                    e_x = max(e_x, abs(m01 / m11) * (height - 1) / 2 / abs(s_a))
-                    e_y = max(e_y, abs(m10 / m11) * (width - 1) / 2)
-    return int(np.ceil(e_x * 1.05)) + 2, int(np.ceil(e_y * 1.05)) + 2
-
-
 def sample_tta_params(
     cfg: TTAConfig, rng: jax.Array, batch: int, height: int, width: int
 ) -> TTAParams:
@@ -127,7 +87,7 @@ def sample_tta_params(
     maybe_flip = jnp.where(flip[:, None, None], flip_m, ident)
     forward = compose_affine(rot, maybe_flip)  # flip first, then rotate/scale
     if eff.separable_warp:
-        m_x, m_y = _separable_margins(
+        m_x, m_y = separable_margins(
             float(eff.rotation_limit), 1.0 + float(lo), 1.0 + float(hi),
             eff.hflip_p > 0.0, height, width,
         )

@@ -178,13 +178,92 @@ def test_separable_close_on_smooth_rotation(mode, rng):
 
 
 def test_separable_margin_helper_covers_offsets():
-    from diffuncertainty_tpu.sampling.tta import _separable_margins
+    from diffuncertainty_tpu.ops.warp import separable_margins
 
-    mx, my = _separable_margins(22.5, 0.8, 1.2, True, 128, 128)
+    mx, my = separable_margins(22.5, 0.8, 1.2, True, 128, 128)
     assert 0 < mx < 128 and 0 < my < 128
     # margins grow with rotation
-    mx2, my2 = _separable_margins(45.0, 0.8, 1.2, True, 128, 128)
+    mx2, my2 = separable_margins(45.0, 0.8, 1.2, True, 128, 128)
     assert mx2 > mx and my2 > my
+
+
+@pytest.mark.parametrize("mode", ["replicate", "constant"])
+def test_separable_nearest_exact_for_single_pass_warps(mode):
+    """Identity / flip / translations: nearest separable == nearest composed."""
+    rng = np.random.default_rng(11)
+    labels = jnp.asarray(rng.integers(0, 5, (3, 32, 32, 1)), jnp.float32)
+    b, h, w, _ = labels.shape
+    cases = [
+        jnp.asarray([[1.0, 0, 0], [0, 1, 0]]),
+        hflip_matrix(w),
+        jnp.asarray([[1.0, 0, 3], [0, 1, -2]]),
+        jnp.asarray([[1.0, 0, 0.4], [0, 1, 0.25]]),  # fractional translation
+    ]
+    for m in cases:
+        mb = jnp.broadcast_to(m, (b, 2, 3))
+        exact = warp_affine(labels, mb, interpolation="nearest", border_mode=mode)
+        sep = warp_affine_separable(labels, mb, interpolation="nearest",
+                                    border_mode=mode, margin_x=w, margin_y=h)
+        np.testing.assert_array_equal(np.asarray(sep), np.asarray(exact))
+
+
+@pytest.mark.parametrize("mode", ["replicate", "constant"])
+def test_separable_nearest_rotation_label_safe_and_close(mode):
+    """Rotated/scaled label masks: values stay in the label set, agreement
+    with the composed nearest warp except boundary-crossing pixels (the
+    documented <= |m01/m11|/2 px coordinate perturbation)."""
+    rng = np.random.default_rng(12)
+    # piecewise-constant label regions (not iid noise, so disagreement
+    # concentrates at region boundaries)
+    base = np.zeros((4, 32, 32, 1), np.float32)
+    base[:, 8:24, 6:20, 0] = 3.0
+    base[:, 14:30, 18:30, 0] = 7.0
+    labels = jnp.asarray(base)
+    b, h, w, _ = labels.shape
+    ang = jnp.asarray(rng.uniform(-22.5, 22.5, b), jnp.float32)
+    sc = jnp.asarray(1 + rng.uniform(-0.2, 0.2, b), jnp.float32)
+    m = invert_affine(rotation_matrix(ang, sc, ((w - 1) / 2, (h - 1) / 2)))
+    exact = np.asarray(warp_affine(labels, m, interpolation="nearest",
+                                   border_mode=mode))
+    sep = np.asarray(warp_affine_separable(labels, m, interpolation="nearest",
+                                           border_mode=mode, margin_x=w, margin_y=h))
+    assert set(np.unique(sep)) <= {0.0, 3.0, 7.0}
+    mismatch = np.mean(sep != exact)
+    assert mismatch < 0.03, mismatch
+
+
+def test_augment_batch_separable_matches_composed_semantics(rng):
+    """The default separable augment pipeline stays close to the composed-warp
+    pipeline under identical PRNG draws: identical label set, small image
+    delta, boundary-bounded mask disagreement."""
+    import dataclasses as dc
+
+    from diffuncertainty_tpu.data.augment import TrainAugmentConfig, augment_batch
+
+    cfg = TrainAugmentConfig(
+        hflip_p=0.5, rotation_limit=20.0, scale_limit=(-0.15, 0.15),
+        gauss_noise_var_limit=(0.0, 0.0), gauss_noise_p=0.0,
+        mean=(0.0,), std=(1.0,),
+    )
+    images = jnp.asarray(np.concatenate([_smooth_images(1, c=3),
+                                         _smooth_images(1, c=3) * 0.5]))
+    # piecewise-constant mask (like real segmentations): disagreement between
+    # the warp backends then concentrates on region boundaries. An iid-noise
+    # mask would make every pixel a boundary and inflate the mismatch rate.
+    mk = np.zeros((2, 32, 32), np.int32)
+    mk[:, 8:26, 10:22] = 1
+    masks = jnp.asarray(mk)
+    key = jax.random.key(3)
+    im_sep, mk_sep = augment_batch(cfg, key, images, masks)
+    im_cmp, mk_cmp = augment_batch(
+        dc.replace(cfg, separable_warp=False), key, images, masks)
+    assert set(np.unique(np.asarray(mk_sep))) <= {0, 1}
+    assert np.mean(np.asarray(mk_sep) != np.asarray(mk_cmp)) < 0.05
+    # constant-0 border bleed differs between one and two interpolations for
+    # pixels whose source taps touch the frame edge (<= ~6 px in at 20
+    # degrees); the interior is double-interpolation-close
+    inner = (slice(None), slice(6, -6), slice(6, -6))
+    assert np.abs(np.asarray(im_sep) - np.asarray(im_cmp))[inner].max() < 0.05
 
 
 def test_tta_separable_vs_exact_round_trip():
