@@ -118,9 +118,17 @@ def make_sampler(built: BuiltModel, spec: SamplerSpec) -> Callable:
     if spec.member_fold:
         chunk = None  # folded execution replaces both vmap and chunking
     elif spec.member_chunk == "auto":
+        # single-TPU stacked ensembles: scan members (chunk 1) — grouped-conv
+        # vmap measured slower (see SamplerSpec.member_chunk). With multiple
+        # devices the member axis may be sharded over the mesh, where the
+        # scan would serialize what vmap parallelizes — keep vmap there.
         chunk = (
             1
-            if spec.member_mode == "params_stack" and jax.default_backend() == "tpu"
+            if (
+                spec.member_mode == "params_stack"
+                and jax.default_backend() == "tpu"
+                and jax.device_count() == 1
+            )
             else None
         )
     else:
