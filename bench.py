@@ -164,6 +164,7 @@ def make_looped_k(built, single_sampler):
 
 def quality_eval(built, sampler, params, tag):
     """Dice/GED/AURC/ECE on the deterministic toy-128 test split."""
+    from diffuncertainty_tpu.data.augment import TrainAugmentConfig, normalize_batch
     from diffuncertainty_tpu.data.dataset import MultiRaterDataset
     from diffuncertainty_tpu.data.loader import BatchLoader
     from diffuncertainty_tpu.data.toy import generate_toy_dataset
@@ -181,10 +182,15 @@ def quality_eval(built, sampler, params, tag):
     bm = make_batch_metrics(num_classes=built.num_classes, ignore_index=None,
                             meta=sampler.meta, compute_likelihood=False)
     jsampler = jax.jit(sampler)
+    # normalize like the inference runner (infer/runner.py:297) with the
+    # bench model config's stats — the assets are trained with the same
+    # (tools/train_bench_assets.py)
+    aug_cfg = TrainAugmentConfig(mean=(0.485, 0.456, 0.406),
+                                 std=(0.229, 0.224, 0.225))
 
     dices, geds, tu_means, eces = [], [], [], []
     for bi, batch in enumerate(loader):
-        images = jnp.asarray(batch["image"])
+        images = normalize_batch(jnp.asarray(batch["image"]), aug_cfg)
         gt = jnp.asarray(batch["seg"])
         stack = jsampler(params, images, jax.random.key(777 + bi))
         out = bm(stack, gt)
@@ -306,6 +312,19 @@ def main():
             return acc + jnp.sum(stack.mean.astype(jnp.float32))
         return jax.lax.fori_loop(0, k, body, 0.0)
 
+    ckpt_d = REPO / "assets" / "bench_unet16_toy128_diffusion.npz"
+    weights_d = "random-init (throughput only)"
+    if ckpt_d.exists() and not _SMOKE:
+        from diffuncertainty_tpu.tools.bench_weights import load_params_npz
+
+        loaded = load_params_npz(ckpt_d)
+        ref_paths = {p for p, _ in jax.tree_util.tree_flatten_with_path(params_d)[0]}
+        if {p for p, _ in jax.tree_util.tree_flatten_with_path(loaded)[0]} == ref_paths:
+            params_d = jax.tree.map(jnp.asarray, loaded)
+            weights_d = "trained(toy128)"
+        else:
+            _log("diffusion checkpoint asset structure mismatch; random init")
+
     diff_per_batch = slope_time(diff_k, (params_d, images), "diffusion ddim10x16")
     result["diffusion_sampler"] = {
         "metric": "images/sec/chip, 16-trajectory DDIM-10 diffusion uncertainty inference, LIDC-2D 128px",
@@ -314,9 +333,12 @@ def main():
         "p50_latency_ms": round(diff_per_batch * 1000, 2),
         "n_trajectories": N_SAMPLES,
         "num_steps": 10,
-        "weights": "random-init (throughput only)",
+        "weights": weights_d,
         "note": "reference runs n_pred full reverse trajectories as a Python loop (test_2D.py:1195-1212); here trajectories are one fused vmapped-scan program",
     }
+    if weights_d.startswith("trained"):
+        result["diffusion_sampler"]["quality"] = quality_eval(
+            built_d, diff_sampler, params_d, "diffusion ddim10x16")
     print(json.dumps(result))
 
 

@@ -168,6 +168,10 @@ class CheckpointScheduleConfig:
     exponent_base: float = 2.0
     exponential_start: int = 10
     full_last_ckpt: bool = True
+    last_every_n_epochs: int = 1  # 'last' checkpoint cadence. Saving pulls
+    # the full train state device->host; on the tunneled chip that transfer
+    # dominates short epochs, so bulk jobs raise this. The final epoch always
+    # saves regardless.
     shutdown_timer: float = 82800.0
     do_shutdown: bool = False
 

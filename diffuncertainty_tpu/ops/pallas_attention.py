@@ -35,65 +35,34 @@ _DISABLED = os.environ.get("DIFFUNC_NO_PALLAS_ATTN") == "1"
 _MAX_TOKENS = 2048  # single-block design: the f32 score tile must fit VMEM
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, o_ref):
-    q = q_ref[0]  # (T, D)
-    k = k_ref[0]
-    v = v_ref[0]
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (T, T) f32
-    m = jnp.max(s, axis=-1, keepdims=True)
-    e = jnp.exp(s - m)
-    p = e / jnp.sum(e, axis=-1, keepdims=True)
-    o = jax.lax.dot_general(
-        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    o_ref[0] = o.astype(o_ref.dtype)
-
-
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def attention_single_block(
-    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *, interpret: bool = False
-) -> jnp.ndarray:
-    """softmax(q @ k^T) @ v over (N, T, D) stacks (N = batch*heads folded).
-
-    Caller pre-scales q/k. T and D should be multiples of the (8, 128) tile
-    for best layouts; any T <= ``_MAX_TOKENS`` compiles.
-    """
-    n, t, d = q.shape
-    spec = pl.BlockSpec((1, t, d), lambda i: (i, 0, 0))
-    return pl.pallas_call(
-        _attn_kernel,
-        grid=(n,),
-        in_specs=[spec, spec, spec],
-        out_specs=spec,
-        out_shape=jax.ShapeDtypeStruct((n, t, d), q.dtype),
-        interpret=interpret,
-    )(q, k, v)
-
-
-def _qkv_kernel(qkv_ref, o_ref, *, num_heads: int, ch: int, scale2: float):
-    # one batch row per cell; heads statically unrolled (score tile reused).
-    # Everything stays 2-D — Mosaic rejects 3-D/4-D squeezes and grouping
-    # reshapes ("unsupported shape cast"); plain lane slices lower fine.
-    x = qkv_ref[0]  # (T, 3C), channel layout [h0: q|k|v, h1: q|k|v, ...]
-    for h in range(num_heads):
-        base = 3 * ch * h
-        q = x[:, base : base + ch]
-        k = x[:, base + ch : base + 2 * ch]
-        v = x[:, base + 2 * ch : base + 3 * ch]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale2  # scale after the f32 accumulation (better than bf16 q*scale)
-        m = jnp.max(s, axis=-1, keepdims=True)
-        e = jnp.exp(s - m)
-        p = e / jnp.sum(e, axis=-1, keepdims=True)
-        o = jax.lax.dot_general(
-            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        o_ref[0, :, ch * h : ch * (h + 1)] = o.astype(o_ref.dtype)
+def _qkv_kernel(qkv_ref, o_ref, *, num_heads: int, ch: int, scale2: float,
+                rows: int = 1):
+    # ``rows`` batch rows per cell; heads statically unrolled (score tile
+    # reused). Everything stays 2-D — Mosaic rejects 3-D/4-D squeezes and
+    # grouping reshapes ("unsupported shape cast"); plain lane slices lower
+    # fine. The softmax denominator divides the (T, d) PV *output*, not the
+    # (T, T) probability tile — same math, one full score-tile elementwise
+    # pass fewer (measured -13% at T=1024, v5e). Multi-row cells amortize
+    # per-cell DMA/pipeline overhead where the score tile is small
+    # (measured -32% at T=256; Mosaic runs out of VMEM at T=1024).
+    for r in range(rows):
+        x = qkv_ref[r]  # (T, 3C), channel layout [h0: q|k|v, h1: q|k|v, ...]
+        for h in range(num_heads):
+            base = 3 * ch * h
+            q = x[:, base : base + ch]
+            k = x[:, base + ch : base + 2 * ch]
+            v = x[:, base + 2 * ch : base + 3 * ch]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            ) * scale2  # scale after the f32 accumulation (better than bf16 q*scale)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s - m)
+            denom = jnp.sum(e, axis=-1, keepdims=True)  # (T, 1) f32
+            o = jax.lax.dot_general(
+                e.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            o_ref[r, :, ch * h : ch * (h + 1)] = (o / denom).astype(o_ref.dtype)
 
 
 def _xla_qkv_attention(qkv: jnp.ndarray, num_heads: int, scale: float) -> jnp.ndarray:
@@ -155,14 +124,19 @@ def _qkv_attention_pallas_impl(qkv, num_heads, scale, interpret=False):
     b, t, c3 = qkv.shape
     c = c3 // 3
     ch = c // num_heads
+    # small score tiles leave VMEM headroom for multi-row cells (amortized
+    # per-cell overhead); at T=1024 the f32 score tile alone is 4 MB and a
+    # second row fails Mosaic allocation
+    rows = 2 if (t <= 256 and b % 2 == 0) else 1
     kernel = functools.partial(
-        _qkv_kernel, num_heads=num_heads, ch=ch, scale2=float(scale) ** 2
+        _qkv_kernel, num_heads=num_heads, ch=ch, scale2=float(scale) ** 2,
+        rows=rows,
     )
     return pl.pallas_call(
         kernel,
-        grid=(b,),
-        in_specs=[pl.BlockSpec((1, t, 3 * c), lambda i: (i, 0, 0))],
-        out_specs=pl.BlockSpec((1, t, c), lambda i: (i, 0, 0)),
+        grid=(b // rows,),
+        in_specs=[pl.BlockSpec((rows, t, 3 * c), lambda i: (i, 0, 0))],
+        out_specs=pl.BlockSpec((rows, t, c), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, t, c), qkv.dtype),
         interpret=interpret,
     )(qkv)

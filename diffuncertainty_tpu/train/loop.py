@@ -398,9 +398,14 @@ class Trainer:
 
             if epoch in sched_ckpt_epochs:
                 self._save_scheduled(state, epoch)
-            self._save_last(state, epoch)
+            last_freq = max(1, cfg.ckpt_save_freq.last_every_n_epochs)
+            saved_last = (epoch + 1) % last_freq == 0 or epoch == cfg.trainer.max_epochs - 1
+            if saved_last:
+                self._save_last(state, epoch)
 
             if shutdown_after is not None and time.time() - t_start > shutdown_after:
+                if not saved_last:  # don't lose the tail when stopping early
+                    self._save_last(state, epoch)
                 self._log({"epoch": epoch, "event": "graceful_shutdown"})
                 break
         if self._logger is not None:
