@@ -292,6 +292,59 @@ def main():
         "note": "reference loops members with CPU<->GPU model hopping (test_2D.py:711-727)",
     }
 
+    # ---- remaining C1 aleatoric paths + the alternate backbone ----
+    # 16-sample throughput for SSN, prob-U-Net, and HRNet-backbone softmax so
+    # no prediction-model family is perf-blind (random-init, throughput only)
+    def bench_path(tag, data="lidc128", network="unet16", model="softmax",
+                   eu="none", spec=None, extra=()):
+        cfg_p = load_config(
+            data=data, network=network, model=model, eu_method=eu,
+            overrides=["data.batch_size=%d" % BATCH, "trainer.precision=bf16"]
+            + list(extra) + SMALL_NET)
+        built_p = build_model(cfg_p)
+        init_rngs = {"params": rng}
+        if built_p.needs_dropout_rng:
+            init_rngs["dropout"] = jax.random.fold_in(rng, 1)
+        if built_p.au_type == "prob_unet":
+            seg0 = jnp.zeros((1, HW, HW, built_p.num_classes), jnp.float32)
+            variables = built_p.module.init(
+                init_rngs, images[:1], seg0, built_p.module.init_input_latent(1))
+        elif built_p.has_batch_stats:
+            variables = built_p.module.init(init_rngs, images[:1], True)
+        else:
+            variables = built_p.module.init(init_rngs, images[:1])
+        params_p = variables
+        sampler_p = make_sampler(built_p, spec)
+        k_fn = make_fused_k(built_p, sampler_p)
+        per = slope_time(k_fn, (params_p, images), tag)
+        return {
+            "value": round(BATCH / per, 2),
+            "unit": "images/sec/chip",
+            "p50_latency_ms": round(per * 1000, 2),
+            "weights": "random-init (throughput only)",
+        }
+
+    result["ssn"] = {
+        "metric": "images/sec/chip, 16-sample SSN uncertainty inference, LIDC-2D 128px",
+        **bench_path("ssn x16", model="ssn",
+                     spec=SamplerSpec(n_pred=N_SAMPLES, n_members=1,
+                                      member_mode="single")),
+        "note": "one forward + 16 low-rank MVN logit samples (reference: distribution.sample([n_pred]), test_2D.py:1171)",
+    }
+    result["prob_unet"] = {
+        "metric": "images/sec/chip, 16-sample prob-U-Net uncertainty inference, LIDC-2D 128px",
+        **bench_path("prob_unet x16", model="prob_unet",
+                     spec=SamplerSpec(n_pred=N_SAMPLES, n_members=1,
+                                      member_mode="single")),
+        "note": "one feature/prior forward + 16 latent draws through fcomb (reference: sample_multiple Python loop, diff_unet2D_module.py:1156-1165)",
+    }
+    result["hrnet"] = {
+        "metric": "images/sec/chip, 16-sample dropout+TTA uncertainty inference, HRNet-small backbone, LIDC-2D 128px",
+        **bench_path("hrnet x16", network="hrnet-s", eu="dropout",
+                     spec=spec_fused),
+        "note": "alternate C0 backbone (reference hrnet_module.py)",
+    }
+
     # ---- diffusion sampler throughput (the namesake path) ----
     diff_overrides = ["data.batch_size=%d" % BATCH, "trainer.precision=bf16",
                       "model.diffusion_sampling.num_steps=10"] + SMALL_NET
