@@ -67,12 +67,15 @@ def aggregate_trace(log_dir: str | Path, top: int = 25) -> dict:
     by_cat: dict[str, float] = collections.defaultdict(float)
     by_op: dict[str, float] = collections.defaultdict(float)
     total = 0.0
+    # control-flow wrappers (scan/while bodies) re-emit their contents as
+    # separate device events — counting the wrapper double-counts the body
+    skip = {"while", "conditional", "call", "fusion.control-flow"}
     for ev in events:
         if ev.get("ph") != "X":
             continue
         args = ev.get("args") or {}
         cat = args.get("hlo_category")
-        if cat is None:
+        if cat is None or cat in skip:
             continue
         dur = float(ev.get("dur", 0.0)) / 1000.0  # us -> ms
         total += dur
