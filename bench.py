@@ -83,7 +83,7 @@ def build(precision):
         overrides=["data.batch_size=%d" % BATCH, "trainer.precision=%s" % precision]
         + SMALL_NET,
     )
-    return build_model(cfg)
+    return build_model(cfg), cfg
 
 
 def slope_time(fn_k, args, tag):
@@ -109,19 +109,30 @@ def slope_time(fn_k, args, tag):
     return per
 
 
+def load_asset(path, ref_params):
+    """Load an npz checkpoint asset if it matches ``ref_params``' structure
+    AND leaf shapes (a path-only check would pass a stale asset from an older
+    network config and crash later inside the jitted sampler)."""
+    if not path.exists() or _SMOKE:
+        return None
+    from diffuncertainty_tpu.tools.bench_weights import load_params_npz
+
+    loaded = load_params_npz(path)
+    ref = {p: v.shape for p, v in jax.tree_util.tree_flatten_with_path(ref_params)[0]}
+    got = {p: v.shape for p, v in jax.tree_util.tree_flatten_with_path(loaded)[0]}
+    if ref != got:
+        _log(f"{path.name}: asset structure/shape mismatch; using random init")
+        return None
+    return jax.tree.map(jnp.asarray, loaded)
+
+
 def load_params(built, rng, images):
     """Trained checkpoint asset if present, else random init."""
     init_rngs = {"params": rng, "dropout": jax.random.fold_in(rng, 1)}
     params = built.module.init(init_rngs, images)
-    if CKPT.exists() and not _SMOKE:
-        from diffuncertainty_tpu.tools.bench_weights import load_params_npz
-
-        loaded = load_params_npz(CKPT)
-        ref_paths = {p for p, _ in jax.tree_util.tree_flatten_with_path(params)[0]}
-        got_paths = {p for p, _ in jax.tree_util.tree_flatten_with_path(loaded)[0]}
-        if ref_paths == got_paths:
-            return jax.tree.map(jnp.asarray, loaded), "trained(toy128)"
-        _log("checkpoint asset structure mismatch; using random init")
+    loaded = load_asset(CKPT, params)
+    if loaded is not None:
+        return loaded, "trained(toy128)"
     return params, "random-init"
 
 
@@ -162,8 +173,13 @@ def make_looped_k(built, single_sampler):
     return looped_k
 
 
-def quality_eval(built, sampler, params, tag):
-    """Dice/GED/AURC/ECE on the deterministic toy-128 test split."""
+def quality_eval(built, sampler, params, tag, data_cfg):
+    """Dice/GED/AURC/ECE on the deterministic toy-128 test split.
+
+    ``data_cfg``: the model's data config — its augmentation mean/std are the
+    normalization source of truth (the inference runner and the asset
+    trainer both use them; hardcoding them here once mis-measured quality).
+    """
     from diffuncertainty_tpu.data.augment import TrainAugmentConfig, normalize_batch
     from diffuncertainty_tpu.data.dataset import MultiRaterDataset
     from diffuncertainty_tpu.data.loader import BatchLoader
@@ -183,10 +199,10 @@ def quality_eval(built, sampler, params, tag):
                             meta=sampler.meta, compute_likelihood=False)
     jsampler = jax.jit(sampler)
     # normalize like the inference runner (infer/runner.py:297) with the
-    # bench model config's stats — the assets are trained with the same
+    # model config's stats — the assets are trained with the same
     # (tools/train_bench_assets.py)
-    aug_cfg = TrainAugmentConfig(mean=(0.485, 0.456, 0.406),
-                                 std=(0.229, 0.224, 0.225))
+    aug = data_cfg.augmentations
+    aug_cfg = TrainAugmentConfig(mean=tuple(aug.mean), std=tuple(aug.std))
 
     dices, geds, tu_means, eces = [], [], [], []
     for bi, batch in enumerate(loader):
@@ -222,8 +238,8 @@ def main():
     rng = jax.random.key(0)
     images = jax.random.uniform(rng, (BATCH, HW, HW, 3), jnp.float32)
 
-    built32 = build("fp32")
-    built16 = build("bf16")
+    built32, cfg32 = build("fp32")
+    built16, _ = build("bf16")
     params, weights_kind = load_params(built32, rng, images)
 
     spec_fused = SamplerSpec(n_pred=1, n_members=N_SAMPLES, member_mode="dropout",
@@ -266,8 +282,8 @@ def main():
         exact_sampler = make_sampler(
             built32, SamplerSpec(n_pred=1, n_members=N_SAMPLES, member_mode="dropout",
                                  tta=True, tta_config=TTA_EXACT, member_chunk=4))
-        q_fast = quality_eval(built16, fast_sampler, params, "fast bf16")
-        q_exact = quality_eval(built32, exact_sampler, params, "exact fp32")
+        q_fast = quality_eval(built16, fast_sampler, params, "fast bf16", cfg32.data)
+        q_exact = quality_eval(built32, exact_sampler, params, "exact fp32", cfg32.data)
         result["quality_fast"] = q_fast
         result["quality_exact_fp32"] = q_exact
         result["quality_deltas"] = {
@@ -341,7 +357,9 @@ def main():
     result["hrnet"] = {
         "metric": "images/sec/chip, 16-sample dropout+TTA uncertainty inference, HRNet-small backbone, LIDC-2D 128px",
         **bench_path("hrnet x16", network="hrnet-s", eu="dropout",
-                     spec=spec_fused),
+                     spec=spec_fused,
+                     # SMALL_NET's unet keys don't shrink HRNet
+                     extra=("network.hrnet_width=8",) if _SMOKE else ()),
         "note": "alternate C0 backbone (reference hrnet_module.py)",
     }
 
@@ -365,18 +383,12 @@ def main():
             return acc + jnp.sum(stack.mean.astype(jnp.float32))
         return jax.lax.fori_loop(0, k, body, 0.0)
 
-    ckpt_d = REPO / "assets" / "bench_unet16_toy128_diffusion.npz"
     weights_d = "random-init (throughput only)"
-    if ckpt_d.exists() and not _SMOKE:
-        from diffuncertainty_tpu.tools.bench_weights import load_params_npz
-
-        loaded = load_params_npz(ckpt_d)
-        ref_paths = {p for p, _ in jax.tree_util.tree_flatten_with_path(params_d)[0]}
-        if {p for p, _ in jax.tree_util.tree_flatten_with_path(loaded)[0]} == ref_paths:
-            params_d = jax.tree.map(jnp.asarray, loaded)
-            weights_d = "trained(toy128)"
-        else:
-            _log("diffusion checkpoint asset structure mismatch; random init")
+    loaded_d = load_asset(REPO / "assets" / "bench_unet16_toy128_diffusion.npz",
+                          params_d)
+    if loaded_d is not None:
+        params_d = loaded_d
+        weights_d = "trained(toy128)"
 
     diff_per_batch = slope_time(diff_k, (params_d, images), "diffusion ddim10x16")
     result["diffusion_sampler"] = {
@@ -391,7 +403,7 @@ def main():
     }
     if weights_d.startswith("trained"):
         result["diffusion_sampler"]["quality"] = quality_eval(
-            built_d, diff_sampler, params_d, "diffusion ddim10x16")
+            built_d, diff_sampler, params_d, "diffusion ddim10x16", cfg_d.data)
     print(json.dumps(result))
 
 
