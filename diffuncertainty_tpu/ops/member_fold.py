@@ -147,23 +147,16 @@ def member_conv2d(
 
 
 def member_dense(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray | None) -> jnp.ndarray:
-    """Per-member dense: ``(M*B, ..., Cin) x (M, Cin, Cout)``."""
+    """Per-member dense: ``(M*B, ..., Cin) x (M, Cin, Cout)``.
+
+    (The member-folded norm affine lives in ``ops/norm.py::group_norm_32``,
+    which accepts ``(M, C)`` scale/bias directly.)
+    """
     m, cin, cout = kernel.shape
     rows = x.shape[0]
-    b = rows // m
     inner = x.shape[1:-1]
     xm = x.reshape(m, -1, cin)
     y = lax.dot_general(xm, kernel, (((2,), (1,)), ((0,), (0,))))
     if bias is not None:
         y = y + bias[:, None, :]
     return y.reshape((rows,) + inner + (cout,))
-
-
-def member_affine(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray) -> jnp.ndarray:
-    """Per-member channel affine: x ``(M*B, ..., C)``, scale/bias ``(M, C)``."""
-    m, c = scale.shape
-    rows = x.shape[0]
-    xm = x.reshape((m, rows // m) + x.shape[1:])
-    pshape = (m, 1) + (1,) * (x.ndim - 2) + (c,)
-    y = xm * scale.reshape(pshape) + bias.reshape(pshape)
-    return y.reshape(x.shape)

@@ -71,6 +71,8 @@ class SamplerSpec:
     # img/s, and ~5x the compile time) — the im2col patch/tap traffic costs
     # more than the grouped conv saves. Kept for regimes where the grouped
     # conv degenerates (it is numerically pinned to the vmap path by tests).
+    # Ignored (normal chunk/vmap execution applies) when its conditions are
+    # unmet: DiffUnet backbone only, no same_dropout, not prob_unet.
     external_generative_members: int = 0  # generative members contributed by
     # sibling samplers in a heterogeneous ensemble; counted into the global
     # multiple_generative decision (reference test_2D.py:1149-1160)
@@ -114,8 +116,24 @@ def make_sampler(built: BuiltModel, spec: SamplerSpec) -> Callable:
     num_steps = spec.diffusion_num_steps or built.diffusion_num_steps
     sampler_type = spec.diffusion_sampler or built.diffusion_sampler_type
 
+    # Member-folded stacked-ensemble execution (opt-in, see SamplerSpec
+    # .member_fold): rebuild the module with ``members=M`` so the stacked
+    # params apply as member-batched im2col matmuls on member-major folded
+    # rows (ops/member_fold.py) instead of vmap's feature-grouped convs.
+    fold_module = None
+    if (
+        spec.member_fold
+        and spec.member_mode == "params_stack"
+        and not spec.same_dropout
+        and isinstance(module, DiffUnet)
+        and module.members == 0
+        and au != "prob_unet"
+    ):
+        fold_module = module.clone(members=spec.n_members)
+    apply_module = fold_module if fold_module is not None else module
+
     chunk: int | None
-    if spec.member_fold:
+    if fold_module is not None:
         chunk = None  # folded execution replaces both vmap and chunking
     elif spec.member_chunk == "auto":
         # single-TPU stacked ensembles: scan members (chunk 1) — grouped-conv
@@ -133,22 +151,6 @@ def make_sampler(built: BuiltModel, spec: SamplerSpec) -> Callable:
         )
     else:
         chunk = spec.member_chunk
-
-    # Member-folded stacked-ensemble execution (opt-in, see SamplerSpec
-    # .member_fold): rebuild the module with ``members=M`` so the stacked
-    # params apply as member-batched im2col matmuls on member-major folded
-    # rows (ops/member_fold.py) instead of vmap's feature-grouped convs.
-    fold_module = None
-    if (
-        spec.member_fold
-        and spec.member_mode == "params_stack"
-        and not spec.same_dropout
-        and isinstance(module, DiffUnet)
-        and module.members == 0
-        and au != "prob_unet"
-    ):
-        fold_module = module.clone(members=spec.n_members)
-    apply_module = fold_module if fold_module is not None else module
 
     def _apply(params, *args, dropout_key=None, method=None, **kw):
         rngs = {"dropout": dropout_key} if (needs_dropout and dropout_key is not None) else None

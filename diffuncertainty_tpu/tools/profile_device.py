@@ -11,8 +11,11 @@ Workloads mirror ``bench.py`` (the reference's standard inference config,
 
 - ``fused``          — shared-weight MC-dropout members folded into batch
 - ``ensemble_stack`` — 16 distinct-weight members (deep ensemble / SWAG
-                       draws) vmapped over a stacked parameter pytree
+                       draws) over a stacked parameter pytree, executed the
+                       way production does (member_chunk="auto": member-scan
+                       on single-device TPU, vmap elsewhere)
 - ``diffusion``      — 16-trajectory DDIM-10 fused sampler
+- ``train``          — the jitted train step (fwd+loss+grad+AdamW+EMA)
 
 Host tracing is disabled (``host_tracer_level=0``): the TensorBoard JSON
 conversion truncates at 1M events and host events crowd out the device lanes.
@@ -26,7 +29,6 @@ import glob
 import gzip
 import json
 import os
-from functools import partial
 from pathlib import Path
 
 import jax
