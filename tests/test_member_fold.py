@@ -151,6 +151,33 @@ def test_folded_stack_diffusion_sampler_runs():
     assert np.isfinite(np.asarray(out.mean)).all()
 
 
+def test_member_fold_ignored_keeps_chunked_execution():
+    """member_fold=True with unmet conditions (same_dropout) must fall back
+    to normal execution WITH the requested member chunking — the flag must
+    not silently discard member_chunk (an HBM knob) when the fold doesn't
+    engage."""
+    cfg = load_config(
+        data="toy64", network="unet4", model="softmax", eu_method="dropout",
+        overrides=SMALL_NET,
+    )
+    built = build_model(cfg)
+    x = jnp.asarray(np.random.default_rng(8).random((2, 32, 32, 3)), jnp.float32)
+    stacked = _stacked(
+        built, None, 3,
+        params=built.module.init(
+            {"params": jax.random.key(0), "dropout": jax.random.key(1)}, x),
+    )
+    kw = dict(n_pred=1, n_members=3, member_mode="params_stack",
+              same_dropout=True)
+    plain = make_sampler(built, SamplerSpec(member_chunk=2, **kw))
+    folded_req = make_sampler(
+        built, SamplerSpec(member_chunk=2, member_fold=True, **kw))
+    a = jax.jit(plain)(stacked, x, jax.random.key(4))
+    b = jax.jit(folded_req)(stacked, x, jax.random.key(4))
+    # identical execution (fold ignored, chunk honored) => identical numbers
+    np.testing.assert_array_equal(np.asarray(a.groups), np.asarray(b.groups))
+
+
 def test_member_conv_taps_branch_matches_im2col(monkeypatch):
     """The HBM-bounded sum-of-taps formulation must equal the im2col one."""
     import diffuncertainty_tpu.ops.member_fold as mf
