@@ -430,6 +430,53 @@ def uncertainty_panel(
     return Path(out_path)
 
 
+def ood_shift_panel(
+    df: "pd.DataFrame",
+    out_path: str | Path,
+    *,
+    metric: str = "dice",
+    task: str | None = None,
+    shift_of=lambda v: v.rsplit("/", 1)[-1],
+    method_of=lambda v: v.rsplit("/", 1)[0],
+    id_shift: str = "id",
+):
+    """Metric-vs-distribution-shift degradation lines (the ValUES-style
+    robustness figure: one line per method across id -> ood_noise/blur/...).
+
+    ``df``: a :func:`collect_results` frame whose version names encode
+    ``method/shift`` (override ``shift_of``/``method_of`` for other naming).
+    The id split is pinned as the leftmost tick.
+    """
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    sel = df[df["metric"] == metric]
+    if task is not None:
+        sel = sel[sel["task"] == task]
+    if sel.empty:
+        raise ValueError(f"no rows for metric={metric!r} (task={task!r})")
+    sel = sel.assign(shift=sel["version"].map(shift_of),
+                     method=sel["version"].map(method_of))
+    shifts = sorted(sel["shift"].unique(), key=lambda s: (s != id_shift, s))
+    fig, ax = plt.subplots(figsize=(1.2 + 1.1 * len(shifts), 3.2))
+    for method, rows in sel.groupby("method"):
+        means = rows.groupby("shift")["value"].mean()
+        ax.plot(range(len(shifts)), [means.get(s, np.nan) for s in shifts],
+                marker="o", label=method)
+    ax.set_xticks(range(len(shifts)))
+    ax.set_xticklabels(shifts, rotation=30, ha="right", fontsize=8)
+    ax.set_ylabel(metric)
+    ax.set_title(f"{metric} under distribution shift")
+    ax.legend(fontsize=7)
+    ax.grid(alpha=0.3)
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=120)
+    plt.close(fig)
+    return Path(out_path)
+
+
 def plot_tta_augs(
     image,
     out_path: str | Path,

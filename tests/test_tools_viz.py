@@ -107,6 +107,22 @@ def test_collect_results_and_table(tmp_path):
     assert out.exists()
 
 
+def test_ood_shift_panel(tmp_path):
+    from diffuncertainty_tpu.evaln.visualization import ood_shift_panel
+
+    dirs = {}
+    for method in ("dropout", "swag"):
+        for shift in ("id", "ood_noise", "ood_blur"):
+            dirs[f"{method}/{shift}"] = _fake_split_dir(
+                tmp_path, f"{method}_{shift}")
+    df = collect_results(dirs)
+    out = ood_shift_panel(df, tmp_path / "shift.png", metric="aurc",
+                          task="failure_detection")
+    assert out.exists()
+    with pytest.raises(ValueError):
+        ood_shift_panel(df, tmp_path / "x.png", metric="nope")
+
+
 def test_sliding_window_identity_for_full_window():
     x = jnp.asarray(np.random.default_rng(0).random((2, 16, 16, 3)), jnp.float32)
     fn = lambda t: t * 2.0
