@@ -86,8 +86,9 @@ def build(precision):
     return build_model(cfg), cfg
 
 
-def slope_time(fn_k, args, tag):
+def slope_time(fn_k, args, tag, batch=None):
     """Per-batch seconds from the K=1 vs K=KBIG slope (median of repeats)."""
+    batch = BATCH if batch is None else batch
 
     def run(k_static, seed):
         t0 = time.perf_counter()
@@ -105,7 +106,7 @@ def slope_time(fn_k, args, tag):
         tk = run(KBIG, 100 + r)
         diffs.append((tk - t1) / (KBIG - 1))
     per = float(np.median(diffs))
-    _log(f"{tag}: {per * 1000:.1f} ms/batch -> {BATCH / per:.1f} img/s")
+    _log(f"{tag}: {per * 1000:.1f} ms/batch -> {batch / per:.1f} img/s")
     return per
 
 
@@ -289,6 +290,22 @@ def main():
         result["quality_deltas"] = {
             k: round(abs(q_fast[k] - q_exact[k]), 5) for k in q_fast
         }
+
+    # ---- batch-1 serving latency (same 16-sample uncertainty workload) ----
+    img1 = images[:1]
+
+    @partial(jax.jit, static_argnums=(3,))
+    def fused1_k(params, image, key, k):
+        def body(i, acc):
+            stack = fast_sampler(params, image, jax.random.fold_in(key, i))
+            maps = uncertainty_heatmaps(stack.group_means, sample_axis=0,
+                                        class_axis=-1)
+            return (acc + jnp.sum(stack.mean.astype(jnp.float32))
+                    + jnp.sum(maps["TU"].astype(jnp.float32)))
+        return jax.lax.fori_loop(0, k, body, 0.0)
+
+    lat1 = slope_time(fused1_k, (params, img1), "batch-1 latency", batch=1)
+    result["latency_batch1_ms"] = round(lat1 * 1000, 2)
 
     # ---- stacked distinct-weight ensemble (deep ensemble / SWAG draws) ----
     # member_chunk="auto" resolves to a member-scan of plain dense programs
