@@ -477,6 +477,60 @@ def ood_shift_panel(
     return Path(out_path)
 
 
+def reliability_diagram(
+    correct,
+    confids,
+    out_path: str | Path,
+    *,
+    n_bins: int = 20,
+    title: str | None = None,
+):
+    """Reliability diagram (accuracy vs confidence per bin + sample density)
+    with the ECE/ACE annotated — the diagnostic figure behind the
+    reference's calibration metrics (``evaluation/metrics/ace.py``,
+    ``global_utils/debug_ace.py``). Bins match ``evaln.tasks._calib_stats``.
+    """
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from .tasks import calc_ace, calc_ece
+
+    correct = np.asarray(correct).astype(np.float64).reshape(-1)
+    confids = np.clip(np.asarray(confids).astype(np.float64).reshape(-1), 0, 1)
+    bins = np.linspace(0.0, 1.0 + 1e-8, n_bins + 1)
+    binids = np.digitize(confids, bins) - 1
+    total = np.bincount(binids, minlength=n_bins + 1)[:n_bins]
+    acc = np.full(n_bins, np.nan)
+    conf = np.full(n_bins, np.nan)
+    nz = total > 0
+    acc[nz] = np.bincount(binids, weights=correct, minlength=n_bins + 1)[:n_bins][nz] / total[nz]
+    conf[nz] = np.bincount(binids, weights=confids, minlength=n_bins + 1)[:n_bins][nz] / total[nz]
+
+    centers = (bins[:-1] + bins[1:])[:n_bins] / 2
+    fig, (ax, axd) = plt.subplots(
+        2, 1, figsize=(4.2, 5), sharex=True,
+        gridspec_kw={"height_ratios": [3, 1]})
+    ax.plot([0, 1], [0, 1], "--", color="gray", lw=1, label="perfect")
+    width = 1.0 / n_bins
+    ax.bar(centers[nz], acc[nz], width=width * 0.92, alpha=0.75,
+           label="accuracy", edgecolor="black", linewidth=0.3)
+    ax.plot(centers[nz], conf[nz], "r.-", lw=1, ms=4, label="mean confidence")
+    ece, ace = calc_ece(correct, confids), calc_ace(correct, confids)
+    ax.set_ylabel("accuracy")
+    ax.set_title(title or f"ECE {ece:.4f} · ACE {ace:.4f}")
+    ax.legend(fontsize=7, loc="upper left")
+    axd.bar(centers[nz], total[nz] / total.sum(), width=width * 0.92,
+            color="gray")
+    axd.set_xlabel("confidence")
+    axd.set_ylabel("density", fontsize=8)
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=120)
+    plt.close(fig)
+    return Path(out_path)
+
+
 def plot_tta_augs(
     image,
     out_path: str | Path,

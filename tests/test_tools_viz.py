@@ -123,6 +123,16 @@ def test_ood_shift_panel(tmp_path):
         ood_shift_panel(df, tmp_path / "x.png", metric="nope")
 
 
+def test_reliability_diagram(tmp_path):
+    from diffuncertainty_tpu.evaln.visualization import reliability_diagram
+
+    rng = np.random.default_rng(0)
+    confids = rng.uniform(0.3, 1.0, 4000)
+    correct = (rng.uniform(size=4000) < confids).astype(np.int64)  # calibrated
+    out = reliability_diagram(correct, confids, tmp_path / "rel.png")
+    assert out.exists()
+
+
 def test_sliding_window_identity_for_full_window():
     x = jnp.asarray(np.random.default_rng(0).random((2, 16, 16, 3)), jnp.float32)
     fn = lambda t: t * 2.0
