@@ -477,6 +477,43 @@ def ood_shift_panel(
     return Path(out_path)
 
 
+def risk_coverage_plot(
+    series: dict[str, tuple],
+    out_path: str | Path,
+    *,
+    title: str | None = None,
+):
+    """Risk–coverage curves with AURC in the legend — the failure-detection
+    figure behind ``metrics/aurc.py`` (reference ``evaluation/metrics/
+    aurc.py``, fd-shifts convention: coverage = fraction kept when abstaining
+    below a confidence threshold).
+
+    ``series``: {label: (risks, confids)} per method/heatmap.
+    """
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from ..metrics.aurc import aurc, rc_curve_stats
+
+    fig, ax = plt.subplots(figsize=(4.2, 3.2))
+    for label, (risks, confids) in series.items():
+        coverages, sel_risks, _ = rc_curve_stats(
+            np.asarray(risks, np.float64), np.asarray(confids, np.float64))
+        a = aurc(np.asarray(risks), np.asarray(confids))
+        ax.plot(coverages, sel_risks, lw=1.4, label=f"{label} (AURC {a:.4f})")
+    ax.set_xlabel("coverage")
+    ax.set_ylabel("selective risk")
+    ax.set_title(title or "risk–coverage")
+    ax.legend(fontsize=7)
+    ax.grid(alpha=0.3)
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=120)
+    plt.close(fig)
+    return Path(out_path)
+
+
 def reliability_diagram(
     correct,
     confids,

@@ -123,6 +123,18 @@ def test_ood_shift_panel(tmp_path):
         ood_shift_panel(df, tmp_path / "x.png", metric="nope")
 
 
+def test_risk_coverage_plot(tmp_path):
+    from diffuncertainty_tpu.evaln.visualization import risk_coverage_plot
+
+    rng = np.random.default_rng(1)
+    risks = rng.uniform(0, 1, 500)
+    good = 1.0 - risks + rng.normal(0, 0.1, 500)  # informative confidence
+    bad = rng.uniform(0, 1, 500)  # uninformative
+    out = risk_coverage_plot(
+        {"TU": (risks, good), "random": (risks, bad)}, tmp_path / "rc.png")
+    assert out.exists()
+
+
 def test_reliability_diagram(tmp_path):
     from diffuncertainty_tpu.evaln.visualization import reliability_diagram
 
