@@ -477,6 +477,50 @@ def ood_shift_panel(
     return Path(out_path)
 
 
+def al_improvement_plot(
+    cycles: dict[str, dict[str, float]],
+    out_path: str | Path,
+    *,
+    metric: str = "dice",
+):
+    """Active-learning panel: first-cycle score + per-query-strategy second
+    cycle bars (uncertainty / random / best / worst controls), the figure
+    behind ``tasks.al_improvement`` (reference
+    ``evaluation/metrics/al_improvement.py``).
+
+    ``cycles``: {method: {"first": v, "unc": v, "random": v, ...}}.
+    """
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    strategies: list[str] = []
+    for d in cycles.values():
+        for k in d:
+            if k != "first" and k not in strategies:
+                strategies.append(k)
+    x = np.arange(len(cycles))
+    width = 0.8 / (len(strategies) + 1)
+    fig, ax = plt.subplots(figsize=(1.6 + 1.4 * len(cycles), 3.2))
+    ax.bar(x, [d["first"] for d in cycles.values()], width=width,
+           label="first cycle", color="gray")
+    for i, strat in enumerate(strategies):
+        ax.bar(x + (i + 1) * width,
+               [d.get(strat, np.nan) for d in cycles.values()],
+               width=width, label=f"2nd: {strat}")
+    ax.set_xticks(x + 0.4 - width / 2)
+    ax.set_xticklabels(list(cycles), fontsize=8)
+    ax.set_ylabel(metric)
+    ax.set_title(f"active-learning second cycle ({metric})")
+    ax.legend(fontsize=7)
+    ax.grid(axis="y", alpha=0.3)
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=120)
+    plt.close(fig)
+    return Path(out_path)
+
+
 def risk_coverage_plot(
     series: dict[str, tuple],
     out_path: str | Path,

@@ -123,6 +123,16 @@ def test_ood_shift_panel(tmp_path):
         ood_shift_panel(df, tmp_path / "x.png", metric="nope")
 
 
+def test_al_improvement_plot(tmp_path):
+    from diffuncertainty_tpu.evaln.visualization import al_improvement_plot
+
+    out = al_improvement_plot(
+        {"dropout": {"first": 0.80, "unc": 0.86, "random": 0.83, "best": 0.88},
+         "swag": {"first": 0.79, "unc": 0.85, "random": 0.82}},
+        tmp_path / "al.png")
+    assert out.exists()
+
+
 def test_risk_coverage_plot(tmp_path):
     from diffuncertainty_tpu.evaln.visualization import risk_coverage_plot
 
