@@ -19,6 +19,8 @@ import shutil
 from pathlib import Path
 from typing import Any
 
+import jax
+import numpy as np
 import orbax.checkpoint as ocp
 
 from .config import ExperimentConfig
@@ -51,10 +53,23 @@ def save_checkpoint(
 
 
 def load_checkpoint(path: str | Path) -> tuple[dict[str, Any], ExperimentConfig, dict]:
-    """Read (state, config, meta) from a checkpoint directory."""
+    """Read (state, config, meta) from a checkpoint directory.
+
+    Leaves are restored as host numpy arrays: callers place them on whatever
+    device/mesh the current run uses (resume does ``jnp.asarray``; inference
+    shards stacked members). Restoring with the checkpoint's recorded
+    shardings instead would be unsafe across topology changes — the exact
+    case a self-describing checkpoint must survive.
+    """
     path = Path(path).resolve()
     with ocp.PyTreeCheckpointer() as ckptr:
-        state = ckptr.restore(path)
+        meta_tree = ckptr.metadata(path).item_metadata
+        restore_args = jax.tree.map(
+            lambda _: ocp.RestoreArgs(restore_type=np.ndarray), meta_tree
+        )
+        state = ckptr.restore(
+            path, args=ocp.args.PyTreeRestore(restore_args=restore_args)
+        )
     config = ExperimentConfig.from_dict(json.loads((path / "config.json").read_text()))
     meta = json.loads((path / "meta.json").read_text())
     return state, config, meta
