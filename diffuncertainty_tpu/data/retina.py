@@ -62,83 +62,77 @@ REFUGE_CUP_ANNOTATION = "{stem}_seg_cup_{idx}.png"
 # --------------------------------------------------------------------------
 
 def keep_largest_component(mask: np.ndarray) -> np.ndarray:
-    """Keep only the largest connected component (process_chaksu.py:176-187)."""
-    binary = mask.astype(bool)
-    if not binary.any():
-        return binary
-    labeled, num = ndi.label(binary)
-    if num <= 1:
-        return binary
-    counts = np.bincount(labeled.ravel())
-    counts[0] = 0
-    return labeled == counts.argmax()
+    """True only on the biggest 4-connected blob of ``mask``.
+
+    Semantic contract shared with the reference cleaners (every rater mask is
+    reduced to its dominant blob before any geometry is derived); selection
+    here goes through ``np.unique`` label counts on the labeled foreground.
+    """
+    blobs, n_blobs = ndi.label(np.asarray(mask, dtype=bool))
+    if n_blobs < 2:
+        return blobs > 0
+    label_ids, label_sizes = np.unique(blobs[blobs > 0], return_counts=True)
+    return blobs == label_ids[label_sizes.argmax()]
 
 
 def build_label(disc_mask: np.ndarray, cup_mask: np.ndarray) -> np.ndarray:
-    """0 background, 1 disc, 2 cup (cup overwrites disc)."""
-    label = np.zeros(disc_mask.shape, dtype=np.uint8)
-    label[disc_mask.astype(bool)] = 1
-    label[cup_mask.astype(bool)] = 2
-    return label
+    """Class map 0/1/2 = background / disc-only / cup, built arithmetically:
+    one count for being inside the disc∪cup, a second for being in the cup."""
+    disc_or_cup = np.asarray(disc_mask, bool) | np.asarray(cup_mask, bool)
+    in_cup = np.asarray(cup_mask, bool) & disc_or_cup
+    return disc_or_cup.astype(np.uint8) + in_cup.astype(np.uint8)
 
 
-def get_bbox(mask: np.ndarray) -> Tuple[int, int, int, int]:
-    coords = np.argwhere(mask)
-    if coords.size == 0:
-        return (0, 0, 0, 0)
-    y_min, x_min = coords.min(axis=0)
-    y_max, x_max = coords.max(axis=0)
-    return (int(x_min), int(x_max), int(y_min), int(y_max))
+def _mask_extent(mask: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Row/column index ranges of the mask via axis projections."""
+    rows = np.flatnonzero(np.asarray(mask, bool).any(axis=1))
+    cols = np.flatnonzero(np.asarray(mask, bool).any(axis=0))
+    return rows, cols
 
 
 def get_bbox_center(mask: np.ndarray) -> Tuple[float, float]:
-    coords = np.argwhere(mask)
-    if coords.size == 0:
+    """(row, col) midpoint of the mask's bounding box."""
+    rows, cols = _mask_extent(mask)
+    if rows.size == 0:
         raise ValueError("Cannot compute center from empty mask")
-    y_min, x_min = coords.min(axis=0)
-    y_max, x_max = coords.max(axis=0)
-    return ((y_min + y_max) / 2.0, (x_min + x_max) / 2.0)
+    return ((rows[0] + rows[-1]) / 2.0, (cols[0] + cols[-1]) / 2.0)
 
 
 def get_bbox_diameter(mask: np.ndarray) -> float:
-    """Mean of bbox height and width (process_riga.py:158-166)."""
-    x_min, x_max, y_min, y_max = get_bbox(mask)
-    return ((x_max - x_min + 1) + (y_max - y_min + 1)) / 2.0
+    """Mean of bounding-box height and width — the per-rater disc size that
+    drives crop normalization (reference crop-size semantics)."""
+    rows, cols = _mask_extent(mask)
+    if rows.size == 0:
+        return 1.0
+    height = rows[-1] - rows[0] + 1
+    width = cols[-1] - cols[0] + 1
+    return (height + width) / 2.0
 
 
 def crop_square(array: np.ndarray, center: Tuple[float, float], size: int) -> np.ndarray:
-    """Square crop with constant-0 padding past borders (process_chaksu.py:206-234)."""
+    """``size``x``size`` window centered at ``center`` (row, col).
+
+    Implemented by pasting the in-bounds intersection onto a zero canvas, so
+    out-of-frame regions read as 0 without ever padding the source array.
+    """
     if size <= 0:
         raise ValueError("Crop size must be positive")
-    half = size / 2.0
-    cy, cx = center
-    top = int(round(cy - half))
-    left = int(round(cx - half))
-    bottom, right = top + size, left + size
-
-    pad_top = max(0, -top)
-    pad_left = max(0, -left)
-    pad_bottom = max(0, bottom - array.shape[0])
-    pad_right = max(0, right - array.shape[1])
-    if any((pad_top, pad_bottom, pad_left, pad_right)):
-        pad_width = ((pad_top, pad_bottom), (pad_left, pad_right))
-        if array.ndim == 3:
-            pad_width += ((0, 0),)
-        array = np.pad(array, pad_width, mode="constant", constant_values=0)
-        top += pad_top
-        bottom += pad_top
-        left += pad_left
-        right += pad_left
-    return array[top:bottom, left:right]
+    row0 = int(round(center[0] - size / 2.0))
+    col0 = int(round(center[1] - size / 2.0))
+    canvas = np.zeros((size, size) + array.shape[2:], dtype=array.dtype)
+    src_rows = slice(min(max(row0, 0), array.shape[0]), max(min(row0 + size, array.shape[0]), 0))
+    src_cols = slice(min(max(col0, 0), array.shape[1]), max(min(col0 + size, array.shape[1]), 0))
+    canvas[src_rows.start - row0:src_rows.stop - row0,
+           src_cols.start - col0:src_cols.stop - col0] = array[src_rows, src_cols]
+    return canvas
 
 
 def resize_array(arr: np.ndarray, size: int, order: str) -> np.ndarray:
-    """PIL resize: bilinear for images, nearest for labels."""
+    """PIL resize to ``size``x``size``: bilinear for images, nearest for labels."""
     from PIL import Image
 
-    pil = Image.fromarray(arr.astype(np.uint8))
-    resample = Image.BILINEAR if order == "bilinear" else Image.NEAREST
-    return np.array(pil.resize((size, size), resample=resample))
+    resample = {"bilinear": Image.BILINEAR, "nearest": Image.NEAREST}[order]
+    return np.asarray(Image.fromarray(np.asarray(arr, np.uint8)).resize((size, size), resample))
 
 
 def _load_image_rgb(path: Path) -> np.ndarray:
@@ -371,52 +365,74 @@ def label_concentric_rings(
     inner_hole_tol: float = 0.05,
     std: float = 1.0,
 ) -> np.ndarray:
-    """Classify the plane cut by two concentric annotation rings into
-    0 outside / 1 donut / 2 center (clean_riga.py:6-102).
+    """Classify a plane cut by two concentric annotation rings into
+    0 outside / 1 donut / 2 center.
 
-    The non-ring pixels are connected-component labeled; the three largest
-    components are ordered by the area of their filled holes (outside has the
-    biggest hole, center none). With ``std > 0``, ring pixels are assigned by
-    argmax over Gaussian-smoothed component masks.
+    Semantic contract (shared with the reference's RIGA cleaning stage): the
+    non-ring pixels fall into three dominant connected regions; pencil noise
+    beyond those and holes inside the innermost region are rejected by the
+    two tolerances; with ``std > 0`` the leftover ring/noise pixels are
+    absorbed into whichever of the three regions is closest (argmax of a
+    Gaussian-blurred one-hot), otherwise they stay -1.
+
+    The region roles here are resolved *topologically* instead of by sorting
+    hole areas: filling the ring complex itself marks everything the outer
+    ring encloses, which splits off the outside region; between the two
+    enclosed regions, the donut is the one whose filled silhouette swallows
+    the other.
     """
-    rings = rings.astype(bool)
-    cc, n_cc = ndi.label(~rings)
-    if n_cc < 3:
-        raise ValueError(f"Expected at least 3 non-ring CCs, found {n_cc}")
+    rings = np.asarray(rings, dtype=bool)
+    regions, n_regions = ndi.label(~rings)
+    if n_regions < 3:
+        raise ValueError(f"Expected at least 3 non-ring CCs, found {n_regions}")
 
-    ids = np.arange(1, n_cc + 1)
-    areas = ndi.sum(np.ones_like(cc, dtype=np.int64), cc, index=ids)
-    order = np.argsort(areas)[::-1]
-    main_ids = ids[order[:3]]
-    extra_area = areas[order[3:]].sum() if len(order) > 3 else 0
-    if extra_area > noise_tol * areas[order[2]]:
+    region_ids, region_sizes = np.unique(regions[regions > 0], return_counts=True)
+    descending = np.argsort(region_sizes)[::-1]
+    kept = region_ids[descending[:3]]
+    kept_sizes = region_sizes[descending[:3]]
+    clutter = int(region_sizes.sum() - kept_sizes.sum())
+    if clutter > noise_tol * kept_sizes[2]:
         raise ValueError(
-            f"Extra CC area too large: {extra_area} > {noise_tol} * {areas[order[2]]}"
+            f"Pencil-noise components too large: {clutter} px vs "
+            f"{noise_tol} * {kept_sizes[2]} allowed"
         )
 
-    def hole_area(cid):
-        comp = cc == cid
-        return np.count_nonzero(ndi.binary_fill_holes(comp) & ~comp)
+    # Everything the outer ring encloses (donut + inner ring + center):
+    enclosed = ndi.binary_fill_holes(rings)
+    interior = [rid for rid in kept if enclosed[regions == rid].mean() > 0.5]
+    if len(interior) != 2:
+        raise ValueError(
+            f"Ring topology not concentric: {len(interior)} of the 3 main "
+            "regions are enclosed by the outer ring (expected 2)"
+        )
+    (outside_id,) = [rid for rid in kept if rid not in interior]
+    first, second = interior
+    if ndi.binary_fill_holes(regions == first)[regions == second].any():
+        donut_id, center_id = first, second
+    else:
+        donut_id, center_id = second, first
 
-    hole_areas = np.array([hole_area(i) for i in main_ids])
-    main_areas = np.array([np.count_nonzero(cc == i) for i in main_ids])
-    hole_order = np.argsort(hole_areas)[::-1]
-    outside_id, donut_id, center_id = main_ids[hole_order]
-    if hole_areas[hole_order[2]] > inner_hole_tol * main_areas[hole_order[2]]:
-        raise ValueError("Innermost CC has too large a hole")
+    center_mask = regions == center_id
+    center_area = int(np.count_nonzero(center_mask))
+    center_hole = int(np.count_nonzero(ndi.binary_fill_holes(center_mask))) - center_area
+    if center_hole > inner_hole_tol * center_area:
+        raise ValueError(
+            f"Innermost region is not simply connected: hole of {center_hole} px "
+            f"vs {inner_hole_tol} * {center_area} allowed"
+        )
+
+    role_ids = np.array([outside_id, donut_id, center_id])
+    if std > 0:
+        # one-hot over the three roles, blurred per-channel in a single
+        # vectorized call; argmax assigns ring/noise pixels to the nearest role
+        onehot = (regions[None, :, :] == role_ids[:, None, None]).astype(np.float32)
+        blurred = ndi.gaussian_filter(onehot, sigma=(0.0, std, std))
+        return blurred.argmax(axis=0).astype(np.int8)
 
     out = np.full(rings.shape, -1, dtype=np.int8)
-    out[cc == outside_id] = 0
-    out[cc == donut_id] = 1
-    out[cc == center_id] = 2
-    if std == 0:
-        return out
-
-    masks = np.stack(
-        [cc == outside_id, cc == donut_id, cc == center_id], axis=0
-    ).astype(float)
-    smoothed = np.stack([ndi.gaussian_filter(m, sigma=std) for m in masks], axis=0)
-    return np.argmax(smoothed, axis=0).astype(np.int8)
+    for role, rid in enumerate(role_ids):
+        out[regions == rid] = role
+    return out
 
 
 def extract_riga_gt_label(prime_img: np.ndarray, gt_img: np.ndarray) -> np.ndarray:
