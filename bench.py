@@ -111,18 +111,24 @@ def slope_time(fn_k, args, tag, batch=None):
 
 
 def load_asset(path, ref_params):
-    """Load an npz checkpoint asset if it matches ``ref_params``' structure
-    AND leaf shapes (a path-only check would pass a stale asset from an older
-    network config and crash later inside the jitted sampler)."""
+    """Load an npz checkpoint asset if it matches ``ref_params``' structure,
+    leaf shapes, AND post-cast dtypes (a path-only check would pass a stale
+    asset from an older network config and silently change bench numerics).
+
+    Assets may be stored float16 for repo size (tools/bench_weights.py);
+    loading promotes them back to float32 before the comparison.
+    """
     if not path.exists() or _SMOKE:
         return None
     from diffuncertainty_tpu.tools.bench_weights import load_params_npz
 
-    loaded = load_params_npz(path)
-    ref = {p: v.shape for p, v in jax.tree_util.tree_flatten_with_path(ref_params)[0]}
-    got = {p: v.shape for p, v in jax.tree_util.tree_flatten_with_path(loaded)[0]}
+    loaded = load_params_npz(path)  # promotes float16 storage to float32
+    ref = {p: (v.shape, v.dtype)
+           for p, v in jax.tree_util.tree_flatten_with_path(ref_params)[0]}
+    got = {p: (v.shape, np.asarray(v).dtype)
+           for p, v in jax.tree_util.tree_flatten_with_path(loaded)[0]}
     if ref != got:
-        _log(f"{path.name}: asset structure/shape mismatch; using random init")
+        _log(f"{path.name}: asset structure/shape/dtype mismatch; using random init")
         return None
     return jax.tree.map(jnp.asarray, loaded)
 
@@ -175,64 +181,11 @@ def make_looped_k(built, single_sampler):
 
 
 def quality_eval(built, sampler, params, tag, data_cfg):
-    """Dice/GED/AURC/ECE on the deterministic toy-128 test split.
+    """Dice/GED/AURC/ECE on the deterministic toy-128 test split."""
+    from diffuncertainty_tpu.tools.quality import toy128_quality_eval
 
-    ``data_cfg``: the model's data config — its augmentation mean/std are the
-    normalization source of truth (the inference runner and the asset
-    trainer both use them; hardcoding them here once mis-measured quality).
-    """
-    from diffuncertainty_tpu.data.augment import TrainAugmentConfig, normalize_batch
-    from diffuncertainty_tpu.data.dataset import MultiRaterDataset
-    from diffuncertainty_tpu.data.loader import BatchLoader
-    from diffuncertainty_tpu.data.toy import generate_toy_dataset
-    from diffuncertainty_tpu.evaln.tasks import calc_ece
-    from diffuncertainty_tpu.infer.batch_metrics import make_batch_metrics
-    from diffuncertainty_tpu.metrics.aurc import aurc
-
-    toy = generate_toy_dataset(
-        Path("/tmp/bench_toy128"), num_train=128, num_val=16, num_test=32,
-        num_ood=16, num_raters=4, size=HW, seed=1234,
-    )
-    splits = toy / "splits" / "default" / "firstCycle" / "splits.pkl"
-    ds = MultiRaterDataset(splits, toy, split="id", num_raters=4)
-    loader = BatchLoader(ds, BATCH, drop_last=True)
-    bm = make_batch_metrics(num_classes=built.num_classes, ignore_index=None,
-                            meta=sampler.meta, compute_likelihood=False)
-    jsampler = jax.jit(sampler)
-    # normalize like the inference runner (infer/runner.py:297) with the
-    # model config's stats — the assets are trained with the same
-    # (tools/train_bench_assets.py)
-    aug = data_cfg.augmentations
-    aug_cfg = TrainAugmentConfig(mean=tuple(aug.mean), std=tuple(aug.std))
-
-    dices, geds, tu_means, eces = [], [], [], []
-    for bi, batch in enumerate(loader):
-        images = normalize_batch(jnp.asarray(batch["image"]), aug_cfg)
-        gt = jnp.asarray(batch["seg"])
-        stack = jsampler(params, images, jax.random.key(777 + bi))
-        out = bm(stack, gt)
-        dices.extend(np.asarray(out["dice"]).tolist())
-        geds.extend(np.asarray(out["ged_bma"]).tolist())
-        maps = uncertainty_heatmaps(
-            stack.group_means.astype(jnp.float32), sample_axis=0, class_axis=-1)
-        tu_means.extend(np.asarray(jnp.mean(maps["TU"], axis=(1, 2))).tolist())
-        mean = np.asarray(stack.mean.astype(jnp.float32))
-        pred = mean.argmax(-1)
-        # pixel correctness vs the rater majority, confidence = max prob
-        gt_np = np.asarray(gt)
-        majority = (gt_np.mean(axis=1) >= 0.5).astype(np.int64)
-        correct = (pred == majority).reshape(-1)
-        confids = mean.max(-1).reshape(-1)
-        eces.append(calc_ece(correct, confids))
-    risks = 1.0 - np.asarray(dices)
-    q = {
-        "dice": round(float(np.mean(dices)), 4),
-        "ged_bma": round(float(np.mean(geds)), 4),
-        "aurc": round(float(aurc(risks, -np.asarray(tu_means))), 5),
-        "ece": round(float(np.mean(eces)), 5),
-    }
-    _log(f"quality[{tag}]: {q}")
-    return q
+    return toy128_quality_eval(
+        built, sampler, params, data_cfg, batch=BATCH, hw=HW, log=_log, tag=tag)
 
 
 def main():
@@ -310,7 +263,27 @@ def main():
     # ---- stacked distinct-weight ensemble (deep ensemble / SWAG draws) ----
     # member_chunk="auto" resolves to a member-scan of plain dense programs
     # on TPU — measured faster than vmap's feature-grouped convs (PARITY.md §1)
+    # Trained weights: 16 distinct members drawn on-device from the SWAG-diag
+    # moments asset (reference expansion test_2D.py:678-709, scale=1.0);
+    # falls back to a replicated random-init stack for throughput only.
     stacked = jax.tree.map(lambda x: jnp.stack([x] * N_SAMPLES), params)
+    weights_stack = weights_kind
+    swag_path = REPO / "assets" / "bench_unet16_toy128_swag.npz"
+    if swag_path.exists() and not _SMOKE:
+        from diffuncertainty_tpu.tools.bench_weights import load_params_npz
+        from diffuncertainty_tpu.tools.train_bench_assets import swag_draw_members
+
+        swag_asset = load_params_npz(swag_path)
+        drawn = swag_draw_members(
+            {"mean": swag_asset["mean"], "std": swag_asset["std"]},
+            jax.random.key(42), N_SAMPLES)
+        ref_shapes = jax.tree.map(lambda x: x.shape, stacked)
+        got_shapes = jax.tree.map(lambda x: x.shape, drawn)
+        if ref_shapes == got_shapes:
+            stacked = drawn
+            weights_stack = "trained(toy128 SWAG-diag draws, scale=1.0)"
+        else:
+            _log("swag asset shape mismatch; stacked path uses random init")
     stack_sampler = make_sampler(built16, SamplerSpec(
         n_pred=1, n_members=N_SAMPLES, member_mode="params_stack",
         tta=True, tta_config=TTA_CFG))
@@ -322,14 +295,21 @@ def main():
         "unit": "images/sec/chip",
         "p50_latency_ms": round(stack_per_batch * 1000, 2),
         "execution": "member-scan over the stacked parameter pytree (member_chunk auto)",
+        "weights": weights_stack,
         "note": "reference loops members with CPU<->GPU model hopping (test_2D.py:711-727)",
     }
+    if weights_stack.startswith("trained"):
+        result["ensemble_stack"]["quality"] = quality_eval(
+            built16, stack_sampler, stacked, "ensemble stack", cfg32.data)
+        result["ensemble_stack"]["quality_note"] = (
+            "16 distinct-weight SWAG-diag posterior draws; independent-seed "
+            "deep-ensemble quality recorded in assets/ensemble16_quality.json")
 
     # ---- remaining C1 aleatoric paths + the alternate backbone ----
     # 16-sample throughput for SSN, prob-U-Net, and HRNet-backbone softmax so
     # no prediction-model family is perf-blind (random-init, throughput only)
     def bench_path(tag, data="lidc128", network="unet16", model="softmax",
-                   eu="none", spec=None, extra=()):
+                   eu="none", spec=None, extra=(), asset=None):
         cfg_p = load_config(
             data=data, network=network, model=model, eu_method=eu,
             overrides=["data.batch_size=%d" % BATCH, "trainer.precision=bf16"]
@@ -347,19 +327,29 @@ def main():
         else:
             variables = built_p.module.init(init_rngs, images[:1])
         params_p = variables
+        weights_p = "random-init (throughput only)"
+        if asset is not None:
+            loaded = load_asset(REPO / "assets" / asset, params_p)
+            if loaded is not None:
+                params_p = loaded
+                weights_p = "trained(toy128)"
         sampler_p = make_sampler(built_p, spec)
         k_fn = make_fused_k(built_p, sampler_p)
         per = slope_time(k_fn, (params_p, images), tag)
-        return {
+        out = {
             "value": round(BATCH / per, 2),
             "unit": "images/sec/chip",
             "p50_latency_ms": round(per * 1000, 2),
-            "weights": "random-init (throughput only)",
+            "weights": weights_p,
         }
+        if weights_p.startswith("trained"):
+            out["quality"] = quality_eval(built_p, sampler_p, params_p, tag,
+                                          cfg_p.data)
+        return out
 
     result["ssn"] = {
         "metric": "images/sec/chip, 16-sample SSN uncertainty inference, LIDC-2D 128px",
-        **bench_path("ssn x16", model="ssn",
+        **bench_path("ssn x16", model="ssn", asset="bench_unet16_toy128_ssn.npz",
                      spec=SamplerSpec(n_pred=N_SAMPLES, n_members=1,
                                       member_mode="single")),
         "note": "one forward + 16 low-rank MVN logit samples (reference: distribution.sample([n_pred]), test_2D.py:1171)",
@@ -367,6 +357,7 @@ def main():
     result["prob_unet"] = {
         "metric": "images/sec/chip, 16-sample prob-U-Net uncertainty inference, LIDC-2D 128px",
         **bench_path("prob_unet x16", model="prob_unet",
+                     asset="bench_unet16_toy128_prob_unet.npz",
                      spec=SamplerSpec(n_pred=N_SAMPLES, n_members=1,
                                       member_mode="single")),
         "note": "one feature/prior forward + 16 latent draws through fcomb (reference: sample_multiple Python loop, diff_unet2D_module.py:1156-1165)",
@@ -374,6 +365,7 @@ def main():
     result["hrnet"] = {
         "metric": "images/sec/chip, 16-sample dropout+TTA uncertainty inference, HRNet-small backbone, LIDC-2D 128px",
         **bench_path("hrnet x16", network="hrnet-s", eu="dropout",
+                     asset="bench_hrnet_s_toy128.npz",
                      spec=spec_fused,
                      # SMALL_NET's unet keys don't shrink HRNet
                      extra=("network.hrnet_width=8",) if _SMOKE else ()),
@@ -421,7 +413,18 @@ def main():
     if weights_d.startswith("trained"):
         result["diffusion_sampler"]["quality"] = quality_eval(
             built_d, diff_sampler, params_d, "diffusion ddim10x16", cfg_d.data)
+
+    # Full nested record first, then the compact headline as the FINAL stdout
+    # line: the driver records the stdout *tail*, and round 2's single giant
+    # line got its headline truncated away (BENCH_r02.json parsed:null).
     print(json.dumps(result))
+    headline = {k: result[k] for k in (
+        "metric", "value", "unit", "vs_baseline", "p50_latency_ms",
+        "latency_batch1_ms", "baseline_images_per_sec", "weights") if k in result}
+    if "quality_fast" in result:
+        headline["quality"] = result["quality_fast"]
+    headline["detail"] = "full per-family record on the previous stdout line"
+    print(json.dumps(headline))
 
 
 if __name__ == "__main__":

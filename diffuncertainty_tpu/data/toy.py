@@ -14,6 +14,7 @@ needs no external data.
 
 from __future__ import annotations
 
+import json
 from pathlib import Path
 
 import numpy as np
@@ -50,8 +51,30 @@ def generate_toy_dataset(
     seed: int = 0,
     ood_shifts: tuple[str, ...] = ("ood_noise", "ood_blur"),
 ) -> Path:
-    """Generate and write the dataset; returns the base dir."""
+    """Generate and write the dataset; returns the base dir.
+
+    Idempotent per parameter set: a ``_manifest.json`` records the generation
+    parameters, and a call whose parameters match an existing manifest
+    returns immediately without touching the files. A call with DIFFERENT
+    parameters against the same directory regenerates everything (the old
+    tree's filenames would otherwise survive and mix sizes/seeds — this once
+    corrupted a live training run when a 32px smoke reused the 128px
+    fixture dir).
+    """
     out_dir = Path(out_dir)
+    manifest = {
+        "num_train": num_train, "num_val": num_val, "num_test": num_test,
+        "num_ood": num_ood, "num_raters": num_raters, "size": size,
+        "ambiguity": ambiguity, "noise_level": noise_level, "seed": seed,
+        "ood_shifts": list(ood_shifts),
+    }
+    manifest_path = out_dir / "_manifest.json"
+    if manifest_path.exists():
+        try:
+            if json.loads(manifest_path.read_text()) == manifest:
+                return out_dir
+        except (ValueError, OSError):
+            pass
     rng = np.random.default_rng(seed)
     img_dir = out_dir / "preprocessed" / "images"
     lbl_dir = out_dir / "preprocessed" / "labels"
@@ -115,4 +138,5 @@ def generate_toy_dataset(
     for shift, ids in ood_lists.items():
         fold[f"id&{shift}"] = id_test + ids
     save_splits([fold], out_dir / "splits" / "default" / "firstCycle" / "splits.pkl")
+    manifest_path.write_text(json.dumps(manifest, indent=2) + "\n")
     return out_dir

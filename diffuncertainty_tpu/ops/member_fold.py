@@ -99,6 +99,10 @@ def member_conv2d(
     """
     m, kh, kw, cin, cout = kernel.shape
     rows = x.shape[0]
+    if rows % m != 0:
+        raise ValueError(
+            f"member_conv2d: folded rows ({rows}) not divisible by member "
+            f"count ({m}) — a silent reshape would mix rows across members")
     b = rows // m
     if kh == kw == 1 and stride == 1 and pad == 0:
         ho, wo = x.shape[1], x.shape[2]
@@ -154,6 +158,10 @@ def member_dense(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray | None) 
     """
     m, cin, cout = kernel.shape
     rows = x.shape[0]
+    if rows % m != 0:
+        raise ValueError(
+            f"member_dense: folded rows ({rows}) not divisible by member "
+            f"count ({m}) — a silent reshape would mix rows across members")
     inner = x.shape[1:-1]
     xm = x.reshape(m, -1, cin)
     y = lax.dot_general(xm, kernel, (((2,), (1,)), ((0,), (0,))))

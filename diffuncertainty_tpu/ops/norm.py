@@ -66,6 +66,11 @@ def group_norm_32(
     bias_f = bias.astype(jnp.float32)
     if scale_f.ndim == 2:  # (M, C) member-folded affine
         m = scale_f.shape[0]
+        if batch % m != 0:
+            raise ValueError(
+                f"group_norm_32: folded rows ({batch}) not divisible by "
+                f"member count ({m}) — a silent repeat would misalign "
+                "member affines across rows")
         scale_f = jnp.repeat(scale_f, batch // m, axis=0)  # (B, C)
         bias_f = jnp.repeat(bias_f, batch // m, axis=0)
     a = inv_c * scale_f  # (B, C)

@@ -56,6 +56,12 @@ class SamplerSpec:
     # unet16@128 ensemble+TTA bf16: chunk1 86.6 img/s > chunk2 83.3 >
     # chunk4 78.9 > full vmap 73.6 — so a member-scan of plain dense
     # programs is both fastest and lowest-memory.
+    # NOTE: "auto" is resolved ONCE, at make_sampler() time, from
+    # jax.default_backend()/jax.device_count() — build samplers AFTER
+    # device/mesh setup. A single-host multi-device process that does NOT
+    # shard the member axis still gets the (slower) vmap path under "auto";
+    # pass member_chunk=1 explicitly to force the member-scan there
+    # (perf-only: every strategy is numerically pinned by tests).
     tta: bool = False
     tta_config: TTAConfig = TTAConfig()
     same_dropout: bool = False
