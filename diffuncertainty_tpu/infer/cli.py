@@ -48,6 +48,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--version", default=None)
     p.add_argument("--include_eval", action="store_true",
                    help="run the evaluation task runner after testing")
+    p.add_argument("--mesh_shape", type=int, nargs=2, default=None,
+                   metavar=("DATA", "MEMBER"),
+                   help="(data, member) device mesh for the inference job; "
+                        "default auto-sizes over all visible devices "
+                        "(1 1 forces single-device)")
     return p
 
 
@@ -111,6 +116,7 @@ def main(argv=None) -> list[dict]:
             data_input_dir=args.data_dir,
             save_dir=args.save_dir,
             version=job["version"],
+            mesh_shape=tuple(args.mesh_shape) if args.mesh_shape else None,
         )
         runner = UncertaintyInference(job["checkpoints"], icfg)
         for split in job["splits"]:

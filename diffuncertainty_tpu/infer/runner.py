@@ -10,7 +10,13 @@ Reference: ``test_2D.py:291-1459``. Differences by design:
   batch (sampler + batch_metrics); the host only does npy IO and JSON/PNG
   writing;
 - checkpoints are self-describing (config embedded), so the runner needs only
-  paths + runtime flags, like the reference CLI.
+  paths + runtime flags, like the reference CLI;
+- multi-chip: a (data, member) ``jax.sharding.Mesh`` over all visible devices
+  (auto-sized, or ``InferenceConfig.mesh_shape``) shards batches over ``data``
+  and stacked-member parameter pytrees over ``member``; XLA inserts the
+  collectives. Single chip runs the identical program unsharded. Numerical
+  equivalence across partitionings is pinned by ``tests/test_parallel.py``
+  (sampler level) and ``tests/test_infer.py`` (whole-job outputs).
 """
 
 from __future__ import annotations
@@ -31,6 +37,12 @@ from ..data.dataset import MultiRaterDataset
 from ..data.loader import BatchLoader
 from ..models import swag as swag_lib
 from ..models.factory import BuiltModel, build_model
+from ..parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    replicate,
+    shard_member_stack,
+)
 from ..sampling.sampler import SamplerSpec, make_sampler
 from ..sampling.tta import TTAConfig
 from .batch_metrics import make_batch_metrics
@@ -59,6 +71,60 @@ class InferenceConfig:
     data_input_dir: str | None = None
     save_dir: str | None = None
     version: str = "version_0"
+    # (data, member) mesh over all visible devices. None -> auto: single
+    # device runs unsharded; multiple devices get the largest usable
+    # (data, member) factorization (see _resolve_mesh). [1, 1] forces
+    # single-device execution regardless of visible devices.
+    mesh_shape: tuple[int, int] | None = None
+
+
+def _resolve_mesh(
+    mesh_shape: tuple[int, int] | None,
+    batch_size: int,
+    stacked_members: int | None,
+) -> "jax.sharding.Mesh | None":
+    """Build the inference (data, member) mesh.
+
+    The reference expands EU members host-side and loops them over one GPU
+    (``test_2D.py:605-727``); here the same axes become mesh dimensions:
+    batches shard over ``data`` and stacked-member parameter pytrees over
+    ``member`` (numerical equivalence proven in ``tests/test_parallel.py``).
+
+    Auto heuristic (mesh_shape None, >1 device): among factorizations
+    (d, m) of <= device_count with ``batch_size % d == 0`` and m == 1 or
+    ``stacked_members % m == 0``, pick the one using the most devices,
+    tie-broken toward the larger data axis (batch work exists for every
+    source; member work only for stacked ones). Returns None when only one
+    device is usable (explicit [1,1], or nothing divides).
+    """
+    n_dev = jax.device_count()
+    if mesh_shape is not None:
+        d, m = int(mesh_shape[0]), int(mesh_shape[1])
+        if d * m <= 1:
+            return None
+        if batch_size % d != 0:
+            raise ValueError(
+                f"batch_size {batch_size} not divisible by mesh data axis {d}")
+        if m > 1 and (stacked_members is None or stacked_members % m != 0):
+            raise ValueError(
+                f"mesh member axis {m} needs a stacked-member source whose "
+                f"member count divides it (have {stacked_members})")
+        return make_mesh((d, m), ("data", "member"))
+    if n_dev <= 1:
+        return None
+    best = (1, 1)
+    for d in range(1, n_dev + 1):
+        if batch_size % d != 0:
+            continue
+        m_max = n_dev // d
+        for m in range(1, m_max + 1):
+            if m > 1 and (stacked_members is None or stacked_members % m != 0):
+                continue
+            if (d * m, d) > (best[0] * best[1], best[0]):
+                best = (d, m)
+    if best == (1, 1):
+        return None
+    return make_mesh(best, ("data", "member"))
 
 
 class UncertaintyInference:
@@ -209,6 +275,25 @@ class UncertaintyInference:
                     )
                 self.sources.append({"built": built_i, "params": p, "spec": spec})
 
+        # production mesh: batches shard over "data", stacked members over
+        # "member" (the sharded-equivalence contract of tests/test_parallel.py)
+        stacked_counts = [
+            src["spec"].n_members
+            for src in self.sources
+            if src["spec"].member_mode == "params_stack"
+        ]
+        self.mesh = _resolve_mesh(
+            icfg.mesh_shape, icfg.batch_size,
+            stacked_counts[0] if stacked_counts else None,
+        )
+        if self.mesh is not None:
+            member_dim = self.mesh.shape["member"]
+            for src in self.sources:
+                if src["spec"].member_mode == "params_stack" and member_dim > 1:
+                    src["params"] = shard_member_stack(src["params"], self.mesh)
+                else:
+                    src["params"] = replicate(src["params"], self.mesh)
+
         for src in self.sources:
             src["sampler"] = make_sampler(src["built"], src["spec"])
             src["jit_sampler"] = jax.jit(src["sampler"])
@@ -245,8 +330,16 @@ class UncertaintyInference:
             compute_likelihood=icfg.save_likelihood,
         )
 
+    def _shard_images(self, images):
+        """Shard the batch axis over the mesh's data dimension (no-op when
+        unmeshed or the batch does not divide, e.g. raw-prediction singles)."""
+        if self.mesh is None or images.shape[0] % self.mesh.shape["data"] != 0:
+            return images
+        return jax.device_put(images, batch_sharding(self.mesh, images.ndim))
+
     def _sample_stack(self, images, key):
         """Run all sources and concatenate their group stacks."""
+        images = self._shard_images(images)
         if len(self.sources) == 1:
             return self._jit_sampler(self.params, images, key)
         from ..sampling.sampler import PredictionStack
@@ -296,7 +389,7 @@ class UncertaintyInference:
             rng, key = jax.random.split(rng)
             images = normalize_batch(jnp.asarray(batch["image"]), self.aug_cfg)
             stack = self._sample_stack(images, key)
-            gt = jnp.asarray(batch["seg"])
+            gt = self._shard_images(jnp.asarray(batch["seg"]))
             results = self.metrics_fn(stack, gt, jnp.asarray(batch["num_raters"]))
             results = jax.device_get(results)
             valid = np.asarray(batch["valid"])

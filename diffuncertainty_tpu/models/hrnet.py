@@ -26,7 +26,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .unet import ChannelDropout, UnetOutput
+from .unet import ChannelDropout, MemberConv, UnetOutput
 
 _BN_MOMENTUM = 0.9  # flax convention: torch momentum 0.1
 
@@ -40,7 +40,14 @@ def _bn(name: str, dtype=None):
 
 
 def _conv(ch: int, k: int, stride: int = 1, name: str | None = None, dtype=None):
-    pad = ((k // 2, k // 2), (k // 2, k // 2)) if k > 1 else "VALID"
+    if k == 1:
+        # 1x1 as channel matmul (stride = subsample): identical math and
+        # param tree, but safe under member-sharded vmap where XLA
+        # miscompiles the grouped-conv lowering of a vmapped 1x1 lax.conv
+        # (see MemberConv in models/unet.py)
+        return MemberConv(ch, (1, 1), strides=stride, use_bias=False,
+                          name=name, dtype=dtype)
+    pad = ((k // 2, k // 2), (k // 2, k // 2))
     return nn.Conv(ch, (k, k), strides=(stride, stride), padding=pad,
                    use_bias=False, name=name, dtype=dtype)
 
@@ -231,9 +238,9 @@ class HRNet(nn.Module):
 
         def last_layer(name: str, out_ch: int):
             # torch nn.Conv2d defaults: both head convs carry a bias
-            t = nn.Conv(feats.shape[-1], (1, 1), padding="VALID", name=f"{name}_conv1")(feats)
+            t = MemberConv(feats.shape[-1], (1, 1), name=f"{name}_conv1")(feats)
             t = jax.nn.relu(_bn(f"{name}_bn")(t, use_running_average=not train))
-            return nn.Conv(out_ch, (1, 1), padding="VALID", name=f"{name}_conv2")(t)
+            return MemberConv(out_ch, (1, 1), name=f"{name}_conv2")(t)
 
         logits_low = last_layer("last", self.num_classes)
         logits = _upsample_to(logits_low, in_h, in_w)

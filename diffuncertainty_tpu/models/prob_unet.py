@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.specs import ProbUnetSpec
-from .unet import DiffUnet
+from .unet import DiffUnet, MemberConv
 
 
 class LatentParams(NamedTuple):
@@ -63,10 +63,11 @@ class LatentEncoder(nn.Module):
     def __call__(self, x: jnp.ndarray) -> LatentParams:
         feats = self.encoder(x).features  # (B, h, w, C)
         pooled = jnp.mean(feats, axis=(1, 2), keepdims=True)
-        params = nn.Conv(
+        # MemberConv's 1x1-as-matmul path: same param tree as nn.Conv, but
+        # safe under member-sharded vmap (see MemberConv docstring)
+        params = MemberConv(
             2 * self.latent_dim,
             (1, 1),
-            padding="VALID",
             kernel_init=nn.initializers.kaiming_normal(),
             bias_init=nn.initializers.normal(stddev=1e-2),
             name="param_head",
@@ -88,9 +89,9 @@ class Fcomb(nn.Module):
         latent = jnp.broadcast_to(z[:, None, None, :], (b, h, w, z.shape[-1]))
         fused = jnp.concatenate([features, latent], axis=-1)
         for i in range(max(0, self.num_layers - 1)):
-            fused = nn.Conv(self.hidden_channels, (1, 1), padding="VALID", name=f"body_{i}")(fused)
+            fused = MemberConv(self.hidden_channels, (1, 1), name=f"body_{i}")(fused)
             fused = jax.nn.relu(fused)
-        return nn.Conv(self.num_classes, (1, 1), padding="VALID", name="head")(fused)
+        return MemberConv(self.num_classes, (1, 1), name="head")(fused)
 
 
 class ProbUnet(nn.Module):

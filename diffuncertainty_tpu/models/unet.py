@@ -99,6 +99,8 @@ class MemberConv(nn.Module):
     strides: int = 1
     padding: int = 0  # symmetric spatial padding (torch Conv2d(k, p))
     kernel_init: Any = nn.initializers.lecun_normal()
+    bias_init: Any = nn.initializers.zeros_init()
+    use_bias: bool = True
     dtype: Any = None
     members: int = 0
 
@@ -110,17 +112,37 @@ class MemberConv(nn.Module):
         kinit = (_stacked_init(self.kernel_init, self.members) if self.members
                  else self.kernel_init)
         kernel = self.param("kernel", kinit, lead + (kh, kw, cin, self.features))
-        bias = self.param("bias", nn.initializers.zeros_init(), lead + (self.features,))
-        x, kernel, bias = nn_dtypes.promote_dtype(x, kernel, bias, dtype=self.dtype)
+        bias = (self.param("bias", self.bias_init, lead + (self.features,))
+                if self.use_bias else None)
+        if bias is None:
+            x, kernel = nn_dtypes.promote_dtype(x, kernel, dtype=self.dtype)
+        else:
+            x, kernel, bias = nn_dtypes.promote_dtype(
+                x, kernel, bias, dtype=self.dtype)
         if self.members:
             return member_conv2d(x, kernel, bias, stride=self.strides, pad=self.padding)
-        y = lax.conv_general_dilated(
-            x,
-            kernel,
-            (self.strides, self.strides),
-            ((self.padding, self.padding), (self.padding, self.padding)),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
+        if kh == kw == 1 and self.padding == 0:
+            # 1x1 convs as channel matmuls (strided 1x1 = subsample + matmul).
+            # Not just an MXU nicety: under vmap over stacked member params +
+            # a member-sharded mesh axis, XLA's SPMD partitioner MISCOMPILES
+            # the feature-grouped conv that a vmapped 1x1 lax.conv lowers to
+            # (wrong values; repro pinned in tests/test_parallel.py::
+            # test_member_sharded_vmap_conv1x1_miscompile_guard); the
+            # dot_general lowering partitions correctly, and kxk>1 grouped
+            # convs are unaffected.
+            if self.strides > 1:
+                x = x[:, :: self.strides, :: self.strides, :]
+            y = lax.dot_general(x, kernel[0, 0], (((x.ndim - 1,), (0,)), ((), ())))
+        else:
+            y = lax.conv_general_dilated(
+                x,
+                kernel,
+                (self.strides, self.strides),
+                ((self.padding, self.padding), (self.padding, self.padding)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+        if bias is None:
+            return y
         return y + bias.reshape((1,) * (y.ndim - 1) + (-1,))
 
 

