@@ -38,6 +38,7 @@ class BatchLoader:
         num_workers: int = 8,
         prefetch: int = 2,
         use_native: bool = True,
+        process_shard: tuple[int, int] | None = None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -47,6 +48,17 @@ class BatchLoader:
         self.num_workers = num_workers
         self.prefetch = prefetch
         self._epoch = 0
+        # multi-host input sharding (parallel/distributed.py::loader_shard):
+        # (process_index, process_count). Each process iterates a disjoint
+        # strided slice of the (shared, seed+epoch-deterministic) sample
+        # order; slices are wrap-padded to equal length so every process
+        # runs the SAME number of steps — the SPMD lockstep requirement.
+        # batch_size here is the PER-PROCESS (host-local) batch size.
+        if process_shard is not None:
+            idx, count = process_shard
+            if not (0 <= idx < count):
+                raise ValueError(f"process_shard index {idx} not in [0, {count})")
+        self.process_shard = process_shard
         # native C++ batch reader fast path: only for plain MultiRaterDataset
         # trees with uniform shapes (probed lazily on the first batch)
         self._native = (
@@ -59,8 +71,15 @@ class BatchLoader:
     def set_epoch(self, epoch: int) -> None:
         self._epoch = epoch
 
-    def __len__(self) -> int:
+    def _local_count(self) -> int:
         n = len(self.dataset)
+        if self.process_shard is None:
+            return n
+        _, count = self.process_shard
+        return (n + count - 1) // count  # wrap-padded equal share
+
+    def __len__(self) -> int:
+        n = self._local_count()
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
@@ -68,8 +87,17 @@ class BatchLoader:
     def _order(self) -> np.ndarray:
         idx = np.arange(len(self.dataset))
         if self.shuffle:
+            # seeded by (seed, epoch) only — every process computes the SAME
+            # global permutation before taking its strided slice
             rng = np.random.default_rng((self.seed, self._epoch))
             rng.shuffle(idx)
+        if self.process_shard is not None:
+            pidx, count = self.process_shard
+            local = idx[pidx::count]
+            want = self._local_count()
+            if len(local) < want:  # wrap-pad from the global order
+                local = np.concatenate([local, idx[: want - len(local)]])
+            idx = local
         return idx
 
     def _collate(self, samples: list[dict], valid_count: int) -> dict:

@@ -97,10 +97,17 @@ def build_loaders(cfg: ExperimentConfig):
         val_idx = set(rng.choice(n, n_val, replace=False).tolist())
         _subset_dataset(val_ds, val_idx)
         _subset_dataset(train_ds, set(range(n)) - val_idx)
+    # multi-host: each process loads only its strided shard of every epoch
+    # (parallel/distributed.py). Single-process this is None -> full data.
+    # batch_size is HOST-LOCAL: the global batch is batch_size * n_processes.
+    from ..parallel.distributed import loader_shard
+
+    shard = loader_shard()
     train_loader = BatchLoader(
-        train_ds, cfg.data.batch_size, shuffle=True, seed=cfg.seed, drop_last=True
+        train_ds, cfg.data.batch_size, shuffle=True, seed=cfg.seed,
+        drop_last=True, process_shard=shard,
     )
-    val_loader = BatchLoader(val_ds, cfg.data.val_batch_size)
+    val_loader = BatchLoader(val_ds, cfg.data.val_batch_size, process_shard=shard)
     train_eval_loader = None
     if cfg.data.evaluate_training_data:
         # mirror a RANDOM val-sized train subset for train-metric tracking
@@ -123,6 +130,14 @@ def build_loaders(cfg: ExperimentConfig):
 
 
 def main(argv: list[str] | None = None) -> None:
+    # multi-host rendezvous FIRST (before any backend touch): no-op unless a
+    # coordinator is configured (DU_COORDINATOR / managed-pod autodetection)
+    from ..parallel.distributed import initialize_distributed, process_info
+
+    if initialize_distributed():
+        idx, count = process_info()
+        print(f"distributed: process {idx}/{count}, "
+              f"{jax.device_count()} global devices")
     cfg, special = parse_args(argv if argv is not None else sys.argv[1:])
     np.random.seed(cfg.seed)
     print(f"Experiment: {cfg.auto_exp_name} (seed {cfg.seed})")

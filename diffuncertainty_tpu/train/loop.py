@@ -35,6 +35,7 @@ from ..core.config import ExperimentConfig
 from ..metrics.dice import dice_bin, dice_multiclass_micro
 from ..models import swag as swag_lib
 from ..models.factory import BuiltModel, build_model
+from ..parallel.distributed import global_batch, is_primary
 from ..parallel.mesh import make_mesh, shard_batch, replicate
 from .losses import make_loss_fn
 
@@ -298,6 +299,10 @@ class Trainer:
                 "image": normalize_batch(jnp.asarray(batch["image"]), self.aug_cfg),
                 "seg": jnp.asarray(batch["seg"]),
             }
+            if self.mesh is not None:
+                # validation runs data-sharded like the train step; the
+                # per-image metrics below gather to host either way
+                jbatch = global_batch(jbatch, self.mesh)
             sched = self._sched_for_epoch(epoch)
             loss, _ = loss_j(
                 {"params": params["params"]}, jbatch, k1, sched, state.model_state
@@ -379,7 +384,10 @@ class Trainer:
                     "seg": jnp.asarray(batch["seg"]),
                 }
                 if self.mesh is not None:
-                    jbatch = shard_batch(jbatch, self.mesh)
+                    # single-process: device_put with batch sharding;
+                    # multi-host: per-process local rows assembled into one
+                    # globally-sharded array (parallel/distributed.py)
+                    jbatch = global_batch(jbatch, self.mesh)
                 state, aux = step_fn(state, jbatch, step_key, sched)
                 epoch_losses.append(aux["loss"])
 
@@ -442,12 +450,16 @@ class Trainer:
         return d
 
     def _save_last(self, state: TrainState, epoch: int) -> None:
+        if not is_primary():
+            return  # multi-host: params are replicated; process 0 writes
         save_checkpoint(
             self._ckpt_dir() / "last", self._full_state_dict(state), self.cfg,
             epoch=epoch, kind="full",
         )
 
     def _save_scheduled(self, state: TrainState, epoch: int) -> None:
+        if not is_primary():
+            return
         ms = state.model_state or {}
         if self.cfg.ema.only_save_ema and state.ema_params is not None:
             payload = {"ema_params": {**state.ema_params, **ms}}
@@ -463,6 +475,8 @@ class Trainer:
         )
 
     def _log(self, record: dict) -> None:
+        if not is_primary():
+            return  # multi-host: metric records are identical on every process
         if self._logger is None:
             from ..utils.loggers import MetricLogger
 
