@@ -655,3 +655,246 @@ def plot_tta_augs(
     fig.savefig(out_path, dpi=120)
     plt.close(fig)
     return Path(out_path)
+
+
+# ---------------------------------------------------------------------------
+# dataset-qualitative paper panels
+# ---------------------------------------------------------------------------
+
+def _to_rgb(img: np.ndarray) -> np.ndarray:
+    """float [0,1] grayscale/RGB -> (H, W, 3)."""
+    img = np.asarray(img, np.float64)
+    if img.ndim == 3 and img.shape[-1] >= 3:
+        return img[..., :3].copy()
+    if img.ndim == 3:
+        img = img[..., 0]
+    return np.repeat(img[..., None], 3, axis=-1)
+
+
+def _overlay_outline(rgb: np.ndarray, mask: np.ndarray, color, lw: float = 1.0):
+    """Alpha-blend the erosion-outline of a binary mask onto an RGB image
+    in place (the reference's label overlay style, helpers.py:2366-2420)."""
+    from scipy import ndimage as ndi
+
+    binary = np.asarray(mask) > 0
+    if not binary.any():
+        return rgb
+    eroded = ndi.binary_erosion(binary, iterations=max(1, int(round(lw))))
+    outline = binary & ~eroded
+    alpha = color[3] if len(color) == 4 else 0.75
+    for c in range(3):
+        rgb[..., c] = np.where(outline, (1 - alpha) * rgb[..., c] + alpha * color[c],
+                               rgb[..., c])
+    return rgb
+
+
+def _image_grid(tiles: list[np.ndarray], cols: int, pad: int, pad_color) -> np.ndarray:
+    """Concatenate RGB tiles into a rows x cols grid with padding all around."""
+    h, w = tiles[0].shape[:2]
+    rows = (len(tiles) + cols - 1) // cols
+    canvas = np.ones((rows * h + (rows + 1) * pad, cols * w + (cols + 1) * pad, 3))
+    canvas *= np.asarray(pad_color, np.float64)
+    for k, tile in enumerate(tiles):
+        r, c = divmod(k, cols)
+        y = pad + r * (h + pad)
+        x = pad + c * (w + pad)
+        canvas[y:y + h, x:x + w] = tile
+    return canvas
+
+
+def dataset_overview_panel(
+    data_dir: str | Path,
+    out_path: str | Path,
+    *,
+    split_name: str = "default",
+    pools: "list[tuple[str, str]] | None" = None,
+    ood_pools: "list[tuple[str, str]] | None" = None,
+    n_rows: int = 3,
+    cols_per_pool: "dict[str, int] | None" = None,
+    num_label_rows: int = 2,
+    label_color=(1.0, 0.1, 0.1, 0.8),
+    pad: int = 1,
+    seed: int = 0,
+    norm: str = "gauss3",
+):
+    """Train | Val | Test(id) | Test(ood) dataset-overview figure.
+
+    The LIDC qualitative panel of the reference
+    (``visualization/helpers.py:1917-2255``, ``plot_lidc``): per-pool image
+    grids side by side, rater-0 label outlines overlaid on the first
+    ``num_label_rows`` rows, one randomly-drawn OOD shift pool with its own
+    sub-caption, and an arrow from the id-test grid to the ood grid. Works
+    on any dataset tree following the preprocessed+splits contract.
+
+    ``norm``: "gauss3" standardizes each image and clips to +-3 std (the
+    reference's vmin/vmax=-3/3 display); "minmax" rescales to [0, 1].
+    """
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from ..data.dataset import MultiRaterDataset, load_splits
+
+    data_dir = Path(data_dir)
+    splits_path = data_dir / "splits" / split_name / "firstCycle" / "splits.pkl"
+    fold = load_splits(splits_path)[0]
+    rng = np.random.default_rng(seed)
+
+    pools = pools or [("train", "Train"), ("val", "Val"), ("id", "Test (id)")]
+    if ood_pools is None:
+        ood_pools = [
+            (k, k.removeprefix("ood_").replace("_", " ").capitalize())
+            for k in fold
+            if isinstance(k, str) and k.startswith("ood_") and "&" not in k
+        ]
+    ood_choice = ood_pools[rng.integers(len(ood_pools))] if ood_pools else None
+    cols = {"train": 4, "val": 1, "id": 1, "ood": 1, **(cols_per_pool or {})}
+
+    def normalize(img):
+        img = np.asarray(img, np.float64)
+        if norm == "gauss3":
+            img = (img - img.mean()) / (img.std() + 1e-8)
+            img = (np.clip(img, -3, 3) + 3) / 6
+        else:
+            img = (img - img.min()) / (img.max() - img.min() + 1e-8)
+        return img
+
+    def pool_grid(pool_key, n_cols):
+        ds = MultiRaterDataset(splits_path, data_dir, split=pool_key,
+                               return_all_raters=True)
+        count = min(n_rows * n_cols, len(ds))
+        idxs = rng.choice(len(ds), size=count, replace=False)
+        tiles = []
+        for k, i in enumerate(idxs):
+            sample = ds.load(int(i))
+            rgb = _to_rgb(normalize(sample["image"]))
+            if k // n_cols < num_label_rows:
+                _overlay_outline(rgb, np.asarray(sample["seg"])[0], label_color)
+            tiles.append(rgb)
+        return _image_grid(tiles, n_cols, pad, (0.0, 0.0, 0.0))
+
+    entries = [(key, title, pool_grid(key, cols.get(key, 1)), None)
+               for key, title in pools]
+    if ood_choice is not None:
+        key, sub = ood_choice
+        entries.append((key, "Test (ood)", pool_grid(key, cols.get("ood", 1)), sub))
+
+    widths = [g.shape[1] for _, _, g, _ in entries]
+    fig, axes = plt.subplots(
+        1, len(entries), figsize=(sum(widths) / 40 + len(entries), widths and entries[0][2].shape[0] / 40 + 1),
+        gridspec_kw={"width_ratios": widths},
+    )
+    if len(entries) == 1:
+        axes = [axes]
+    for ax, (key, title, grid, sub) in zip(axes, entries):
+        ax.imshow(grid)
+        ax.set_title(title, fontsize=13)
+        if sub:
+            ax.set_xlabel(sub, fontsize=9)
+        ax.set_xticks([]), ax.set_yticks([])
+    if ood_choice is not None and len(entries) >= 2:
+        # arrow: id-test grid -> ood grid (figure coordinates)
+        fig.canvas.draw()
+        src, dst = axes[-2].get_position(), axes[-1].get_position()
+        fig.patches.append(matplotlib.patches.FancyArrow(
+            src.x1 + 0.005, (src.y0 + src.y1) / 2,
+            dst.x0 - src.x1 - 0.01, 0, width=0.004,
+            transform=fig.transFigure, color="black",
+        ))
+    fig.savefig(out_path, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+    return Path(out_path)
+
+
+def grouped_rows_panel(
+    data_dir: str | Path,
+    out_path: str | Path,
+    *,
+    group_col: str = "machine",
+    groups: "list[str] | None" = None,
+    group_titles: "list[str] | None" = None,
+    split_name: str | None = None,
+    pool: str | None = None,
+    n_cols: int = 6,
+    label_cols: int = 3,
+    class_colors=((0.1, 1.0, 0.1, 0.6), (1.0, 0.1, 0.1, 0.6)),
+    label_lw: float = 1.0,
+    pad: int = 1,
+    seed: int = 0,
+):
+    """Rows-by-metadata-group qualitative figure.
+
+    The Chaksu scanner panel of the reference
+    (``visualization/helpers.py:2307-2520``, ``plot_chaksu``): one row per
+    metadata group (scanner machine), randomly sampled images per row, all
+    raters' class outlines overlaid on the first ``label_cols`` columns
+    (class ``c`` >= threshold outlines colored ``class_colors[c-1]`` — disc/
+    cup for retina), and a row title per group. Generic over the metadata
+    column, so GTA/Cityscapes-style grouping panels reuse it.
+    """
+    import csv as _csv
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    data_dir = Path(data_dir)
+    meta_path = data_dir / "preprocessed" / "metadata.csv"
+    by_group: dict[str, list[str]] = {}
+    with open(meta_path) as f:
+        for row in _csv.DictReader(f):
+            by_group.setdefault(row[group_col], []).append(row["image_file"])
+    groups = groups or sorted(by_group)
+    group_titles = group_titles or groups
+    rng = np.random.default_rng(seed)
+
+    img_root = data_dir / "preprocessed"
+    lbl_root = data_dir / "preprocessed" / "labels"
+
+    def load_rgb(rel):
+        img = np.load(img_root / rel)
+        img = np.asarray(img, np.float64)
+        img = (img - img.min()) / (img.max() - img.min() + 1e-8)
+        return _to_rgb(img)
+
+    def rater_masks(rel):
+        base = Path(rel).stem
+        out = []
+        for r in range(64):
+            p = lbl_root / f"{base}_{r:02d}_mask.npy"
+            if not p.exists():
+                break
+            out.append(np.load(p))
+        return out
+
+    rows = []
+    for g in groups:
+        files = by_group.get(g, [])
+        if not files:
+            raise ValueError(f"metadata group {g!r} has no images")
+        take = rng.choice(len(files), size=min(n_cols, len(files)), replace=False)
+        tiles = []
+        for k, fi in enumerate(take):
+            rgb = load_rgb(files[int(fi)])
+            if k < label_cols:
+                for mask in rater_masks(files[int(fi)]):
+                    for ci, color in enumerate(class_colors):
+                        _overlay_outline(rgb, np.asarray(mask) >= ci + 0.5,
+                                         color, label_lw)
+            tiles.append(rgb)
+        rows.append(_image_grid(tiles, len(tiles), pad, (0.0, 0.0, 0.0)))
+
+    fig, axes = plt.subplots(len(rows), 1,
+                             figsize=(n_cols * 1.6, len(rows) * 1.8))
+    if len(rows) == 1:
+        axes = [axes]
+    for ax, grid, title in zip(axes, rows, group_titles):
+        ax.imshow(grid)
+        ax.set_ylabel(title, fontsize=12)
+        ax.set_xticks([]), ax.set_yticks([])
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=120)
+    plt.close(fig)
+    return Path(out_path)

@@ -317,3 +317,95 @@ def test_bench_weights_npz_roundtrip(tmp_path, rng):
     assert [p for p, _ in flat_a] == [p for p, _ in flat_b]
     for (_, a), (_, b) in zip(flat_a, flat_b):
         np.testing.assert_array_equal(a, b)
+
+
+def test_to_latex_highlight_best_is_direction_aware():
+    """Weak-spot hardening: the bolded winner must follow metric direction
+    (lower-is-better for risk metrics, higher for dice), cell by cell."""
+    import pandas as pd
+
+    from diffuncertainty_tpu.evaln.visualization import task_table
+
+    rows = []
+    for version, aurc, dice in [("m1_s1", 0.10, 0.80), ("m2_s1", 0.05, 0.90),
+                                ("m3_s1", 0.20, 0.95)]:
+        rows.append(dict(task="failure_detection", unc_type="TU",
+                         aggregation="image_level", metric="aurc",
+                         value=aurc, dataset="-", version=version))
+        rows.append(dict(task="segmentation", unc_type="-", aggregation="-",
+                         metric="dice", value=dice, dataset="-", version=version))
+    table = task_table(pd.DataFrame(rows), group_seeds=True)
+    latex = to_latex(table)
+    aurc_line = next(l for l in latex.splitlines() if "aurc" in l)
+    dice_line = next(l for l in latex.splitlines() if "dice" in l)
+    # aurc: LOWEST value (m2's 0.05) bolded; dice: HIGHEST (m3's 0.95)
+    assert r"\textbf{0.0500}" in aurc_line and r"\textbf" not in aurc_line.replace(
+        r"\textbf{0.0500}", "")
+    assert r"\textbf{0.9500}" in dice_line and r"\textbf" not in dice_line.replace(
+        r"\textbf{0.9500}", "")
+
+
+def test_collect_results_flattening_content(tmp_path):
+    """Weak-spot hardening: the tidy rows must carry the exact numbers from
+    the task JSONs — drift in metric names or nesting would previously
+    survive the structure-only assertions."""
+    d = tmp_path / "v0"
+    d.mkdir()
+    (d / "failure_detection.json").write_text(json.dumps({
+        "mean": {"TU": {"image_level": {"metrics": {"aurc": 0.123, "eaurc": 0.045}}},
+                 "EU": {"image_level": {"metrics": {"aurc": 0.3, "eaurc": 0.2}}}},
+    }))
+    (d / "ood_detection.json").write_text(json.dumps({
+        "id&ood_blur": {"mean": {"TU": {"image_level": {
+            "metrics": {"auroc": 0.91, "detection_rate": 0.5}}}}},
+    }))
+    (d / "metrics.json").write_text(json.dumps({
+        "im1": {"dataset": "toy", "metrics": {"dice": 0.8}},
+        "im2": {"dataset": "toy", "metrics": {"dice": 0.6}},
+    }))
+    df = collect_results({"v0": d})
+    rec = df.set_index(["task", "unc_type", "metric"])["value"]
+    assert rec[("failure_detection", "TU", "aurc")] == 0.123
+    assert rec[("failure_detection", "EU", "eaurc")] == 0.2
+    assert rec[("ood_detection", "TU", "auroc")] == 0.91
+    ood_row = df[(df.task == "ood_detection") & (df.metric == "auroc")].iloc[0]
+    assert ood_row["dataset"] == "id&ood_blur"
+    assert rec[("segmentation", "-", "dice")] == pytest.approx(0.7)
+
+
+def test_dataset_overview_panel(tmp_path):
+    """LIDC-style dataset overview figure on the toy contract tree
+    (reference plot_lidc, visualization/helpers.py:1917)."""
+    from diffuncertainty_tpu.data.toy import generate_toy_dataset
+    from diffuncertainty_tpu.evaln.visualization import dataset_overview_panel
+
+    toy = generate_toy_dataset(tmp_path / "toy", num_train=10, num_val=3,
+                               num_test=4, num_ood=3, size=24, seed=3)
+    out = dataset_overview_panel(toy, tmp_path / "overview.png",
+                                 n_rows=2, seed=1)
+    assert out.exists() and out.stat().st_size > 2000
+
+
+def test_grouped_rows_panel(tmp_path):
+    """Chaksu-style scanner-rows figure: synthetic metadata.csv grouping
+    over the toy tree (reference plot_chaksu, visualization/helpers.py:2307)."""
+    import csv
+
+    from diffuncertainty_tpu.data.toy import generate_toy_dataset
+    from diffuncertainty_tpu.evaln.visualization import grouped_rows_panel
+
+    toy = generate_toy_dataset(tmp_path / "toy2", num_train=9, num_val=2,
+                               num_test=2, num_ood=2, size=24, seed=4)
+    scanners = ["Remidio", "Bosch", "Forus"]
+    with open(toy / "preprocessed" / "metadata.csv", "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=["image_file", "machine"])
+        w.writeheader()
+        for i in range(9):
+            w.writerow({"image_file": f"images/train_{i:04d}.npy",
+                        "machine": scanners[i % 3]})
+    out = grouped_rows_panel(
+        toy, tmp_path / "rows.png", group_col="machine", groups=scanners,
+        group_titles=["Remidio\n(id)", "Bosch\n(ood)", "Forus\n(ood)"],
+        n_cols=3, label_cols=2,
+    )
+    assert out.exists() and out.stat().st_size > 2000
