@@ -211,6 +211,60 @@ def main():
     fast_ips = BATCH / fast_per_batch
     ref_ips = BATCH / ref_per_batch
 
+    # ---- faithful baseline: charge the reference's host-side TTA warps ----
+    # The device-loop baseline above inherits our on-device TTA; the actual
+    # reference warps every member's input AND inverse-warps every softmax on
+    # the host with cv2 (test_2D.py:174-288) while the GPU idles. Measure
+    # that host cost here (per batch: N_SAMPLES fwd warps of HxWx3 inputs +
+    # N_SAMPLES inverse warps of HxWxC softmaxes + simplex renorm, per
+    # image) and charge it to the loop baseline. The tunnel makes timing a
+    # real host<->device round-trip per member unrepresentative (~1s RTT the
+    # reference never pays), so transfers and Python dispatch stay uncharged
+    # — the faithful number remains conservative.
+    faithful = None
+    try:
+        import cv2
+
+        rng_np = np.random.default_rng(0)
+        imgs_np = np.asarray(rng_np.random((BATCH, HW, HW, 3)), np.float32)
+        probs_np = np.asarray(rng_np.random((BATCH, HW, HW, 2)), np.float32)
+        angles = rng_np.uniform(-22.5, 22.5, (N_SAMPLES, BATCH))
+        scales = 1.0 + rng_np.uniform(-0.2, 0.2, (N_SAMPLES, BATCH))
+
+        def host_warp_batch():
+            for m in range(N_SAMPLES):
+                for i in range(BATCH):
+                    c, s = float(np.cos(angles[m, i])), float(scales[m, i])
+                    mat = np.asarray([[c * s, 0.1, 1.0], [-0.1, c * s, -1.0]])
+                    cv2.warpAffine(imgs_np[i], mat, (HW, HW),
+                                   flags=cv2.INTER_LINEAR,
+                                   borderMode=cv2.BORDER_CONSTANT)
+                    back = cv2.warpAffine(probs_np[i], mat, (HW, HW),
+                                          flags=cv2.INTER_LINEAR | cv2.WARP_INVERSE_MAP,
+                                          borderMode=cv2.BORDER_REPLICATE)
+                    norm = back.sum(-1, keepdims=True)
+                    np.divide(back, np.clip(norm, 1e-12, None), out=back)
+
+        host_warp_batch()  # warm
+        t0 = time.perf_counter()
+        reps = 3
+        for _ in range(reps):
+            host_warp_batch()
+        warp_per_batch = (time.perf_counter() - t0) / reps
+        faithful_per_batch = ref_per_batch + warp_per_batch
+        faithful = {
+            "images_per_sec": round(BATCH / faithful_per_batch, 2),
+            "host_warp_ms_per_batch": round(warp_per_batch * 1000, 2),
+            "def": "device member-loop + measured host cv2 warp cost "
+                   "(2*N_SAMPLES warps+renorm per image per batch) charged "
+                   "to the loop; host<->device transfers and per-member "
+                   "dispatch remain UNcharged (tunnel RTT would overcharge)",
+        }
+        _log(f"faithful baseline: +{warp_per_batch * 1000:.1f} ms/batch host warps "
+             f"-> {BATCH / faithful_per_batch:.1f} img/s")
+    except Exception as exc:  # pragma: no cover
+        _log(f"faithful-baseline host warp measurement skipped: {exc}")
+
     result = {
         "metric": "images/sec/chip, 16-sample ensemble+TTA uncertainty inference, LIDC-2D 128px",
         "value": round(fast_ips, 2),

@@ -27,6 +27,23 @@ Shared semantics (kept bit-compatible with the reference):
 - images resize bilinearly, labels nearest, via PIL.
 
 The OOD shifts for the retina family (fov/flash/blur) live in ``data/ood.py``.
+
+.. note:: **Raw-layout assumptions to re-check on real archives.** The raw
+   public downloads are not available in this environment, so these builders
+   are validated against synthetic fixtures (``tests/test_retina.py``) that
+   encode the following assumptions about the raw trees — the first things
+   to verify when pointing at a real download:
+
+   - Chaksu: ``<root>/<Machine>/**/<image>`` with per-expert annotations at
+     ``.../Expert_{1..5}/(Disc|Cup)/<stem>.png`` (binary masks sized like
+     the image);
+   - RIGA: ``<clinic>/.../{case}prime<ext>`` prime images with annotated
+     variants ``{case}-{1..6}<ext>`` in the same folder, contours drawn as
+     near-black pencil strokes on an otherwise identical image;
+   - REFUGE: one folder per case containing the templates above
+     (``REFUGE_IMAGE_NAME`` / ``*_seg_disc_{idx}.png`` / ``*_seg_cup_{idx}
+     .png`` with idx 1..7);
+   - metadata.csv column names (``image_file``, ``machine``/``clinic``).
 """
 
 from __future__ import annotations

@@ -223,18 +223,30 @@ def swag_draw_members(asset: dict, rng, num_members: int, *, scale: float = 1.0)
 def train_ensemble(args):
     from ..models.factory import build_model
     from ..sampling import SamplerSpec, TTAConfig, make_sampler
+    from .bench_weights import load_params_npz, save_params_npz
     from .quality import toy128_quality_eval
 
     n_members = args.n_members
     seeds = [args.seed_base + 37 * i for i in range(n_members)]
     members, digests = [], []
     cfg = None
+    # members cache next to the toy data: the full 16-member run is ~1h on
+    # one chip, so each converged member is persisted and a restarted run
+    # (crash, session end) skips straight past the finished ones
+    cache = Path(args.data_dir).parent / "bench_ensemble_members"
+    cache.mkdir(parents=True, exist_ok=True)
     for i, seed in enumerate(seeds):
         cfg = _load_cfg(model="softmax", eu="none", epochs=args.epochs,
                         precision=args.precision, data_dir=args.data_dir,
                         seed=seed, extra=getattr(args, "extra", ()))
-        _, state = _train(cfg)
-        params = jax.tree.map(np.asarray, _final_params(state))
+        mpath = cache / f"member_seed{seed}_e{args.epochs}.npz"
+        if mpath.exists():
+            params = jax.tree.map(np.asarray, load_params_npz(mpath))
+            _log(f"member {i + 1}/{n_members} (seed {seed}) from cache {mpath}")
+        else:
+            _, state = _train(cfg)
+            params = jax.tree.map(np.asarray, _final_params(state))
+            save_params_npz(params, mpath)
         members.append(params)
         digests.append(_param_digest(params))
         _log(f"member {i + 1}/{n_members} (seed {seed}) digest {digests[-1]}")
