@@ -281,6 +281,10 @@ def main():
         "weights": weights_kind,
         "round1_images_per_sec": 20.7,  # same workload, round-1 program (BENCH_r01)
     }
+    if faithful is not None:
+        result["faithful_baseline"] = faithful
+        result["vs_faithful_baseline"] = round(
+            fast_ips / faithful["images_per_sec"], 3)
 
     # ---- quality at matched AURC/ECE: exact path vs fast path ----
     if weights_kind.startswith("trained"):

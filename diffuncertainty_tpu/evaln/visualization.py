@@ -898,3 +898,82 @@ def grouped_rows_panel(
     fig.savefig(out_path, dpi=120)
     plt.close(fig)
     return Path(out_path)
+
+
+def model_comparison_panel(
+    raws: "dict[str, dict]",
+    out_path: str | Path,
+    *,
+    n_images: int = 3,
+    heatmap: str = "TU",
+    gt_color=(1.0, 0.1, 0.1, 0.9),
+    cmap: str = "viridis",
+):
+    """Side-by-side qualitative model comparison: predictions + uncertainty.
+
+    The reference's ``qualitative_plot_models`` / ``qualitative_plot_
+    uncertainty`` paper figures (``visualization/helpers.py:2521-3410``):
+    rows are images, the first column shows the input with every rater's
+    ground-truth outline, then each model contributes a mean-prediction
+    column and an uncertainty-heatmap column. ``raws``: {model label:
+    ``UncertaintyInference.collect_raw_predictions`` result}; images are
+    matched across models by image_id.
+
+    ``heatmap``: "TU" | "AU" | "EU" (computed from each record's group
+    stack with the fused C2 ops, exactly as the inference job would).
+    """
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import jax.numpy as jnp
+
+    from ..ops.entropy import one_minus_msr, uncertainty_heatmaps
+
+    labels = list(raws)
+    by_id = [
+        {r["image_id"]: r for r in raws[label]["records"]} for label in labels
+    ]
+    common = [i for i in by_id[0] if all(i in d for d in by_id[1:])][:n_images]
+    if not common:
+        raise ValueError("no shared image_ids across the provided models")
+
+    n_cols = 1 + 2 * len(labels)
+    fig, axes = plt.subplots(
+        len(common), n_cols, figsize=(1.9 * n_cols, 2.0 * len(common)),
+        squeeze=False,
+    )
+    for row, image_id in enumerate(common):
+        base = by_id[0][image_id]
+        rgb = _to_rgb(np.asarray(base["image"], np.float64))
+        rgb = (rgb - rgb.min()) / (rgb.max() - rgb.min() + 1e-8)
+        for rater in np.asarray(base["gt"]).reshape((-1,) + rgb.shape[:2]):
+            _overlay_outline(rgb, rater, gt_color)
+        axes[row][0].imshow(rgb)
+        if row == 0:
+            axes[row][0].set_title("input + raters", fontsize=9)
+        axes[row][0].set_ylabel(image_id, fontsize=7)
+        for m, label in enumerate(labels):
+            rec = by_id[m][image_id]
+            group_means = jnp.asarray(np.asarray(rec["groups"]).mean(axis=1))
+            if group_means.shape[0] > 1:
+                maps = uncertainty_heatmaps(group_means, sample_axis=0, class_axis=-1)
+                unc = np.asarray(maps[heatmap])
+                unc_name = heatmap
+            else:
+                unc = np.asarray(one_minus_msr(group_means[0], class_axis=-1))
+                unc_name = "1-MSR"
+            pred = np.asarray(rec["mean"]).argmax(-1)
+            ax_p, ax_u = axes[row][1 + 2 * m], axes[row][2 + 2 * m]
+            ax_p.imshow(pred, cmap="gray", interpolation="nearest")
+            ax_u.imshow(unc, cmap=cmap)
+            if row == 0:
+                ax_p.set_title(f"{label}\npred", fontsize=9)
+                ax_u.set_title(f"{label}\n{unc_name}", fontsize=9)
+    for ax_row in axes:
+        for ax in ax_row:
+            ax.set_xticks([]), ax.set_yticks([])
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=120)
+    plt.close(fig)
+    return Path(out_path)

@@ -409,3 +409,38 @@ def test_grouped_rows_panel(tmp_path):
         n_cols=3, label_cols=2,
     )
     assert out.exists() and out.stat().st_size > 2000
+
+
+def test_model_comparison_panel(tmp_path):
+    """Models x images qualitative figure (reference qualitative_plot_models/
+    qualitative_plot_uncertainty, visualization/helpers.py:2521-3410)."""
+    from diffuncertainty_tpu.core.config import load_config
+    from diffuncertainty_tpu.data import BatchLoader, MultiRaterDataset
+    from diffuncertainty_tpu.data.toy import generate_toy_dataset
+    from diffuncertainty_tpu.evaln.visualization import model_comparison_panel
+    from diffuncertainty_tpu.infer import InferenceConfig, UncertaintyInference
+    from diffuncertainty_tpu.train import Trainer
+
+    toy = generate_toy_dataset(tmp_path / "toy", num_train=8, num_val=2,
+                               num_test=4, num_ood=2, size=32, seed=0)
+    cfg = load_config(
+        data="toy64", network="unet4", model="softmax", eu_method="dropout",
+        overrides=["network.model_channels=8", "network.num_res_blocks=[1,1]",
+                   "network.channel_mult=[1,2]", "network.attention_resolutions=[-1]",
+                   f"save_dir={tmp_path}", f"data.data_input_dir={toy}",
+                   "data.split_name=default", "trainer.max_epochs=1",
+                   "data.batch_size=4"],
+    )
+    trainer = Trainer(cfg)
+    splits = toy / "splits" / "default" / "firstCycle" / "splits.pkl"
+    train_ds = MultiRaterDataset(splits, toy, split="train", return_all_raters=False)
+    trainer.fit(BatchLoader(train_ds, 4, shuffle=True, drop_last=True), None)
+    ckpt = trainer.workdir / "checkpoints" / "last"
+    raws = {}
+    for label, n_models in [("dropout3", 3), ("dropout1", 1)]:
+        inf = UncertaintyInference(
+            [ckpt], InferenceConfig(n_pred=1, n_models=n_models, batch_size=2,
+                                    seed=4, save_dir=str(tmp_path / label)))
+        raws[label] = inf.collect_raw_predictions("id", num_images=2)
+    out = model_comparison_panel(raws, tmp_path / "cmp.png", n_images=2)
+    assert out.exists() and out.stat().st_size > 2000
