@@ -23,11 +23,12 @@ list of dicts) with, per nodule crop, keys ``image`` (2D float array,
 128x128), ``masks`` (list/stack of 4 binary rater masks), and ``series_uid``
 (DICOM series id used for patient mapping), plus a metadata CSV with
 ``Series UID`` -> ``Patient ID`` columns. That pickle is produced upstream by
-the pylidc DICOM->crop stage (``save_cropped_nodules_2d.py``), which needs
-the ~120 GB LIDC-IDRI DICOM archive and the pylidc package — both external
-to this environment, so that stage is intentionally NOT rebuilt here; fetch
-the aggregated pickle (or run the reference script against the archive) and
-point ``--pickle``/``--metadata`` at the results.
+the DICOM->crop stage — rebuilt in ``data/lidc_raw.py`` (clustering, crop,
+resample, slice extraction, with ``crops_to_aggregated_pickle`` emitting
+exactly this pickle) — whose pylidc/DICOM *reader* still needs the ~120 GB
+LIDC-IDRI archive and the pylidc package, both external to this environment.
+Run ``python -m diffuncertainty_tpu.data.lidc_raw`` against the archive (or
+fetch the aggregated pickle) and point ``--pickle``/``--metadata`` here.
 """
 
 from __future__ import annotations
