@@ -41,12 +41,20 @@ def sliding_window_predict(
     window: int,
     stride: int | None = None,
     out_channels: int | None = None,
+    mesh=None,
 ) -> jnp.ndarray:
     """Tile (B, H, W, C) into windows, predict, and stitch to (B, H, W, C_out).
 
     ``apply_fn`` maps (N, window, window, C) -> (N, window, window, C_out)
     and is called once on the full tile stack (vmap/batching inside belongs
     to the caller's jitted function).
+
+    ``mesh``: optional ``jax.sharding.Mesh`` with a "data" axis — the tile
+    stack (the natural SPMD axis of full-frame inference: 105 tiles per
+    512x1024 frame) is sharded over it, so one frame's windows run on all
+    chips in parallel and XLA all-gathers the per-tile predictions for the
+    stitch. The stack is zero-padded to a multiple of the axis size (padding
+    tiles are dropped before stitching), keeping any tile count valid.
     """
     b, h, w, _ = images.shape
     stride = stride or window // 2
@@ -60,7 +68,22 @@ def sliding_window_predict(
                 images, (0, y, x, 0), (b, window, window, images.shape[-1])
             ))
     tile_stack = jnp.concatenate(tiles, axis=0)  # (n_tiles*B, win, win, C)
-    preds = apply_fn(tile_stack)
+    if mesh is not None:
+        from ..parallel.mesh import batch_sharding
+
+        n = tile_stack.shape[0]
+        pad = (-n) % mesh.shape["data"]
+        if pad:
+            tile_stack = jnp.concatenate(
+                [tile_stack,
+                 jnp.zeros((pad,) + tile_stack.shape[1:], tile_stack.dtype)])
+        tile_stack = jax.lax.with_sharding_constraint(
+            tile_stack, batch_sharding(mesh, tile_stack.ndim))
+        preds = apply_fn(tile_stack)
+        if pad:
+            preds = preds[:n]
+    else:
+        preds = apply_fn(tile_stack)
     c_out = preds.shape[-1]
 
     weight_2d = jnp.asarray(np.outer(_tent(window), _tent(window)), preds.dtype)

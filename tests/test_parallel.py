@@ -262,3 +262,39 @@ def test_member_sharded_vmap_conv1x1_miscompile_guard():
     stacked_sh = shard_member_stack(stacked, mesh)
     got = np.asarray(jax.jit(f)(stacked_sh, x))
     np.testing.assert_allclose(got, ref, atol=2e-6)
+
+
+def test_sliding_window_tile_sharding_matches_single_device():
+    """Sharding the sliding-window tile stack over the mesh's data axis must
+    reproduce the unsharded stitch (same tiles, same model, same blending;
+    the tile count is deliberately NOT divisible by the axis size to
+    exercise the pad-and-drop path)."""
+    from diffuncertainty_tpu.infer.sliding_window import sliding_window_predict
+
+    cfg = load_config(
+        data="toy64", network="unet4", model="softmax", eu_method="none",
+        overrides=SMALL_NET,
+    )
+    built = build_model(cfg)
+    x = jnp.asarray(np.random.default_rng(4).random((1, 40, 56, 3)), jnp.float32)
+    params = built.module.init({"params": jax.random.key(0)}, jnp.ones((1, 16, 16, 3)))
+    params = jax.tree.map(
+        lambda p: p + 0.05 * jax.random.normal(jax.random.key(7), p.shape, p.dtype),
+        params,
+    )
+
+    def apply_fn(tiles):
+        return jax.nn.softmax(built.module.apply(params, tiles).logits, axis=-1)
+
+    # window 16 stride 12 on 40x56 -> 3x5 = 15 tiles (not divisible by 8)
+    ref = np.asarray(jax.jit(
+        lambda im: sliding_window_predict(apply_fn, im, window=16, stride=12)
+    )(x))
+
+    mesh = make_mesh((8, 1), ("data", "member"))
+    got = np.asarray(jax.jit(
+        lambda im: sliding_window_predict(
+            apply_fn, im, window=16, stride=12, mesh=mesh)
+    )(x))
+    assert ref.shape == got.shape == (1, 40, 56, built.num_classes)
+    np.testing.assert_allclose(got, ref, atol=2e-6)
