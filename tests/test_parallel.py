@@ -298,3 +298,36 @@ def test_sliding_window_tile_sharding_matches_single_device():
     )(x))
     assert ref.shape == got.shape == (1, 40, 56, built.num_classes)
     np.testing.assert_allclose(got, ref, atol=2e-6)
+
+
+def test_diffusion_sampler_under_data_sharding_matches():
+    """The fused diffusion sampler folds its n_pred trajectories into the
+    batch rows of one T-step scan; sharding the input batch over "data" must
+    propagate through the tile/reshape and leave the trajectories unchanged
+    vs the single-device run."""
+    cfg = load_config(
+        data="toy64", network="unet4", model="diffusion", eu_method="none",
+        overrides=SMALL_NET + ["model.diffusion_sampling.num_steps=2"],
+    )
+    built = build_model(cfg)
+    x = jnp.asarray(np.random.default_rng(6).random((8, 32, 32, 3)), jnp.float32)
+    xin = jnp.ones((1, 32, 32, built.module.in_channels), jnp.float32)
+    params = built.module.init({"params": jax.random.key(0)}, xin, jnp.zeros((1,)))
+    params = jax.tree.map(
+        lambda p: p + 0.05 * jax.random.normal(jax.random.key(3), p.shape, p.dtype),
+        params,
+    )
+    sampler = make_sampler(
+        built,
+        SamplerSpec(n_pred=2, diffusion_sampler="ddim", diffusion_num_steps=2),
+    )
+    key = jax.random.key(11)
+    ref = jax.jit(sampler)(params, x, key)
+
+    mesh = make_mesh((8, 1), ("data", "member"))
+    x_sh = jax.device_put(x, batch_sharding(mesh, x.ndim))
+    got = jax.jit(sampler)(replicate(params, mesh), x_sh, key)
+
+    np.testing.assert_allclose(
+        np.asarray(got.groups), np.asarray(ref.groups), atol=2e-6
+    )
