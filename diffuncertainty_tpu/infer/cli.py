@@ -93,6 +93,9 @@ def _auto_version(group: list[Path]) -> str:
 
 
 def main(argv=None) -> list[dict]:
+    from ..utils import enable_compile_cache
+
+    enable_compile_cache()
     args = build_parser().parse_args(argv)
     summaries = []
     for job in prepare_jobs(args):

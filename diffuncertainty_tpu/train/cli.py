@@ -138,6 +138,9 @@ def main(argv: list[str] | None = None) -> None:
         idx, count = process_info()
         print(f"distributed: process {idx}/{count}, "
               f"{jax.device_count()} global devices")
+    from ..utils import enable_compile_cache
+
+    enable_compile_cache()
     cfg, special = parse_args(argv if argv is not None else sys.argv[1:])
     np.random.seed(cfg.seed)
     print(f"Experiment: {cfg.auto_exp_name} (seed {cfg.seed})")

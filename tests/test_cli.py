@@ -131,3 +131,17 @@ def test_infer_cli_end_to_end(toy_dir, tmp_path):
     assert (out_dir / "metrics.json").exists()
     assert (out_dir / "aggregated_TU.json").exists()  # include_eval chain ran
     assert (out_dir / "failure_detection.json").exists()
+
+
+def test_enable_compile_cache(tmp_path, monkeypatch):
+    from diffuncertainty_tpu.utils import enable_compile_cache
+
+    target = tmp_path / "xla_cache"
+    assert enable_compile_cache(str(target)) == str(target)
+    assert target.is_dir()
+    # env override
+    monkeypatch.setenv("DU_COMPILE_CACHE", str(tmp_path / "via_env"))
+    assert enable_compile_cache() == str(tmp_path / "via_env")
+    # empty env disables without touching config
+    monkeypatch.setenv("DU_COMPILE_CACHE", "")
+    assert enable_compile_cache() is None
