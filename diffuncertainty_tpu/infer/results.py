@@ -16,6 +16,8 @@ the reference's evaluation loaders.
 from __future__ import annotations
 
 import json
+import os
+from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
 
 import numpy as np
@@ -23,7 +25,19 @@ from PIL import Image
 
 
 class ResultsWriter:
-    def __init__(self, split_dir: str | Path, *, binary: bool = True, palette=None):
+    """File writer with an optional background encode/write thread.
+
+    A 16-group job writes ~20 files per image (17 PNGs + 3 TIFFs); done
+    inline, those writes sit on the critical path while the accelerator
+    idles between batches (the reference pays the same serial cost,
+    ``test_2D.py:807-858``). With ``async_writes`` (default) the PIL
+    encode+write happens on a worker thread, overlapping the next batch's
+    device compute; ``flush()`` joins and re-raises the first failure.
+    Outputs are byte-identical either way — only the schedule changes.
+    """
+
+    def __init__(self, split_dir: str | Path, *, binary: bool = True, palette=None,
+                 async_writes: bool = True):
         self.split_dir = Path(split_dir)
         self.pred_dir = self.split_dir / "pred_seg"
         self.pred_dir.mkdir(parents=True, exist_ok=True)
@@ -31,6 +45,15 @@ class ResultsWriter:
         self.palette = palette
         self.metrics: dict[str, dict] = {}
         self.likelihood: dict[str, dict] = {}
+        workers = max(2, min(8, (os.cpu_count() or 2) - 1))
+        self._pool = ThreadPoolExecutor(max_workers=workers) if async_writes else None
+        self._pending = []
+
+    def _submit(self, fn, *args) -> None:
+        if self._pool is None:
+            fn(*args)
+        else:
+            self._pending.append(self._pool.submit(fn, *args))
 
     # ---- predictions -----------------------------------------------------
 
@@ -55,21 +78,34 @@ class ResultsWriter:
             mask = np.asarray(mask).copy()
             if ignore_mask is not None:
                 mask[np.asarray(ignore_mask, bool)] = 0
-            if self.binary:
-                img = ((mask > 0).astype(np.uint8)) * 255
-                Image.fromarray(img, mode="L").save(self.pred_dir / f"{name}.png")
-            else:
-                img = Image.fromarray(mask.astype(np.uint8), mode="P")
-                if self.palette is not None:
-                    img.putpalette(self.palette)
-                img.save(self.pred_dir / f"{name}.png")
+            self._submit(self._write_png, name, mask)
+
+    def _write_png(self, name: str, mask: np.ndarray) -> None:
+        # compress_level=1: lossless like the default, ~4x faster to encode
+        # on high-entropy masks (0.6 vs 2.6 ms at 128px; segmentation blobs
+        # are ~0.2 ms either way) — with 17 PNGs per 16-group image the
+        # encode sits on the job's write path
+        if self.binary:
+            img = ((mask > 0).astype(np.uint8)) * 255
+            Image.fromarray(img, mode="L").save(
+                self.pred_dir / f"{name}.png", compress_level=1)
+        else:
+            img = Image.fromarray(mask.astype(np.uint8), mode="P")
+            if self.palette is not None:
+                img.putpalette(self.palette)
+            img.save(self.pred_dir / f"{name}.png", compress_level=1)
 
     def save_uncertainty(self, image_id: str, heatmaps: dict[str, np.ndarray]) -> None:
         for unc_type, unc_map in heatmaps.items():
             unc_dir = self.split_dir / unc_type
             unc_dir.mkdir(parents=True, exist_ok=True)
-            arr = np.asarray(unc_map, np.float32)
-            Image.fromarray(arr, mode="F").save(unc_dir / f"{image_id}.tif")
+            # copy: the caller may reuse the results buffer for the next batch
+            self._submit(self._write_tif, unc_dir, image_id,
+                         np.asarray(unc_map, np.float32).copy())
+
+    @staticmethod
+    def _write_tif(unc_dir: Path, image_id: str, arr: np.ndarray) -> None:
+        Image.fromarray(arr, mode="F").save(unc_dir / f"{image_id}.tif")
 
     # ---- scalar records --------------------------------------------------
 
@@ -80,6 +116,12 @@ class ResultsWriter:
         self.likelihood[image_id] = {"dataset": dataset, **record}
 
     def flush(self) -> None:
+        if self._pool is not None:
+            for fut in self._pending:
+                fut.result()  # join; re-raise the first write failure
+            self._pending.clear()
+            self._pool.shutdown(wait=True)
+            self._pool = None  # post-flush writes (unusual) fall back inline
         with open(self.split_dir / "metrics.json", "w") as f:
             json.dump(self.metrics, f, indent=2)
         if self.likelihood:

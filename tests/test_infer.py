@@ -307,3 +307,31 @@ def test_meshed_inference_job_matches_single_device(toy_dir, tmp_path):
         a = np.asarray(Image.open(tif))
         b = np.asarray(Image.open(ens["meshed"] / "TU" / tif.name))
         np.testing.assert_allclose(b, a, atol=1e-6)
+
+
+def test_results_writer_async_matches_inline(tmp_path):
+    """The background write pool must produce byte-identical files to inline
+    writes (only the schedule differs), and flush() must join everything."""
+    import numpy as np
+    from diffuncertainty_tpu.infer.results import ResultsWriter
+
+    rng = np.random.default_rng(0)
+    group_idx = (rng.random((3, 16, 16)) > 0.5).astype(np.int32)
+    mean_idx = group_idx.mean(0).round().astype(np.int32)
+    heatmaps = {k: rng.random((16, 16)).astype(np.float32) for k in ("TU", "AU", "EU")}
+
+    outs = {}
+    for tag, async_writes in (("inline", False), ("pooled", True)):
+        w = ResultsWriter(tmp_path / tag, binary=True, async_writes=async_writes)
+        for j in range(4):
+            w.save_prediction(f"img{j}", group_idx, mean_idx, None)
+            w.save_uncertainty(f"img{j}", heatmaps)
+            w.add_metrics(f"img{j}", "toy", {"dice": 0.5 + j})
+        w.flush()
+        outs[tag] = {
+            p.relative_to(tmp_path / tag): p.read_bytes()
+            for p in sorted((tmp_path / tag).rglob("*")) if p.is_file()
+        }
+    assert set(outs["inline"]) == set(outs["pooled"])
+    for rel, blob in outs["inline"].items():
+        assert outs["pooled"][rel] == blob, f"{rel} differs"
