@@ -32,6 +32,52 @@ from ..ops.warp import (
 )
 
 
+# Geometric transforms this pipeline (and the TTA inversion built on it)
+# implements. The reference TTA whitelist additionally carries Affine
+# (``test_2D.py:56-73``); this pipeline samples its own flip/rotate/scale
+# parameters and cannot represent an arbitrary Affine (shear/translate), so
+# Affine is REJECTED rather than silently narrowed.
+SUPPORTED_GEOMETRIC_TRANSFORMS = frozenset({"HorizontalFlip", "Rotate", "RandomScale"})
+UNSUPPORTED_GEOMETRIC_TRANSFORMS = frozenset({
+    "Affine", "VerticalFlip", "RandomRotate90", "Transpose", "ShiftScaleRotate",
+    "SafeRotate", "Perspective", "ElasticTransform", "GridDistortion",
+    "OpticalDistortion", "PiecewiseAffine", "GridElasticDeform",
+    "ThinPlateSpline", "Morphological", "D4",
+})
+
+
+def check_geometric_transform_support(transforms, context: str = "augmentation config") -> None:
+    """Reject reference-style transform trees this pipeline cannot express.
+
+    ``transforms`` is an albumentations-style nested structure (lists of
+    ``{Name: {params...}}`` dicts, e.g. the reference's
+    ``data.augmentations.TRAIN`` — ``configs/data/lidc64.yaml:33-60``).
+    Geometric entries outside {HorizontalFlip, Rotate, RandomScale} raise:
+    the batched affine pipeline has no parameters for them, and dropping them
+    silently would change what TTA samples vs what training saw.
+    Non-geometric entries (Normalize, GaussNoise, crops, ...) pass through.
+    """
+    found: list[str] = []
+
+    def walk(node) -> None:
+        if isinstance(node, dict):
+            for name, body in node.items():
+                if name in UNSUPPORTED_GEOMETRIC_TRANSFORMS:
+                    found.append(name)
+                walk(body)
+        elif isinstance(node, (list, tuple)):
+            for item in node:
+                walk(item)
+
+    walk(transforms)
+    if found:
+        raise ValueError(
+            f"{context} contains geometric transforms this pipeline cannot "
+            f"represent or invert: {sorted(set(found))}; supported geometric "
+            f"transforms: {sorted(SUPPORTED_GEOMETRIC_TRANSFORMS)}"
+        )
+
+
 @dataclasses.dataclass(frozen=True)
 class TrainAugmentConfig:
     hflip_p: float = 0.5

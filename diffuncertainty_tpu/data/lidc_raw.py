@@ -27,8 +27,9 @@ Pipeline (matching the reference stage's observable behavior):
    ``labels/{scan_id:04d}_{idx:03d}_{rater:02d}_mask.npy`` files, where
    ``idx`` is a per-scan running crop counter (the reference increments its
    ``local_nod_idx`` once per saved slice), plus a ``metadata.csv`` carrying
-   the nine pylidc semantic features of the first annotation
-   (``save_cropped_nodules_2d.py:39-58,118-144``).
+   the nine pylidc semantic features as per-rater lists (None-padded) and
+   list-repr segmentation paths, cell-format-matching the reference's
+   pandas-written CSV (``save_cropped_nodules_2d.py:38-58,118-144``).
 
 ``crops_to_aggregated_pickle`` additionally bundles a crop tree into the
 aggregated-pickle format consumed by ``data/lidc_import.py``, so the full
@@ -240,7 +241,8 @@ def extract_nodule_crops(
     """All positive 2D slices of every kept nodule of one scan.
 
     Returns dicts with ``image`` (n, n) float32, ``masks`` (RATER_COUNT, n, n)
-    bool, ``features`` (first annotation's), and group/slice indices.
+    bool, ``features`` (per-rater value lists, None-padded to RATER_COUNT),
+    and group/slice indices.
     """
     groups = cluster_annotations(
         scan.annotations, scan.spacing, cfg.cluster_max_dist_mm)
@@ -265,11 +267,21 @@ def extract_nodule_crops(
             z for z in range(cube.shape[2])
             if any(m[:, :, z].any() for m in rater_cubes)
         ]
+        # per-rater feature lists, None-padded to RATER_COUNT, matching the
+        # reference's append_metadata accumulation over all annotations of
+        # the cluster (save_cropped_nodules_2d.py:38-58,100-116)
+        features: dict[str, list] = {}
+        for name in FEATURE_NAMES:
+            key = name.replace(" ", "")
+            features[key] = [
+                (group[r].features or {}).get(key) if r < len(group) else None
+                for r in range(RATER_COUNT)
+            ]
         for z in positive:
             out.append({
                 "image": cube[:, :, z],
                 "masks": np.stack([m[:, :, z] for m in rater_cubes]),
-                "features": dict(group[0].features or {}),
+                "features": features,
                 "nodule": g_idx,
                 "slice": z,
             })
@@ -309,12 +321,16 @@ def save_crops(
                 p = labels_dir / f"{stem}_{r:02d}_mask.npy"
                 np.save(p, crop["masks"][r].astype(np.intc))
                 seg_paths.append(str(p))
+            # feature cells are per-rater LISTS and Segmentation Save Paths a
+            # list too — csv str()s them to the same list-repr cells the
+            # reference's pandas to_csv writes (save_cropped_nodules_2d.py:
+            # 38-58,131-144)
             row = {
                 "Patient ID": scan.patient_id,
                 "Scan ID": f"{scan.scan_id:04d}",
                 "Nodule Index": f"{idx:03d}",
                 "Image Save Path": str(images_dir / f"{stem}.npy"),
-                "Segmentation Save Paths": ";".join(seg_paths),
+                "Segmentation Save Paths": seg_paths,
             }
             for name in FEATURE_NAMES:
                 row[name] = crop["features"].get(name.replace(" ", ""), "")

@@ -48,12 +48,34 @@ class ResultsWriter:
         workers = max(2, min(8, (os.cpu_count() or 2) - 1))
         self._pool = ThreadPoolExecutor(max_workers=workers) if async_writes else None
         self._pending = []
+        # backpressure bound: each pending TIFF holds a full float32 heatmap
+        # copy, so cap the queue and drain completed futures when it fills
+        self._max_pending = 4 * workers
+
+    def __enter__(self) -> "ResultsWriter":
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> None:
+        if exc_type is None:
+            self.flush()
+        else:
+            self.abort()
+
+    def abort(self) -> None:
+        """Stop the writer without writing metrics.json (error path)."""
+        if self._pool is not None:
+            self._pool.shutdown(wait=True, cancel_futures=True)
+            self._pool = None
+            self._pending.clear()
 
     def _submit(self, fn, *args) -> None:
         if self._pool is None:
             fn(*args)
-        else:
-            self._pending.append(self._pool.submit(fn, *args))
+            return
+        if len(self._pending) >= self._max_pending:
+            self._pending[0].result()  # block on the oldest; re-raise failures
+            self._pending = [f for f in self._pending if not f.done()]
+        self._pending.append(self._pool.submit(fn, *args))
 
     # ---- predictions -----------------------------------------------------
 

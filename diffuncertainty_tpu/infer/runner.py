@@ -81,7 +81,7 @@ class InferenceConfig:
 def _resolve_mesh(
     mesh_shape: tuple[int, int] | None,
     batch_size: int,
-    stacked_members: int | None,
+    stacked_members: Sequence[int],
 ) -> "jax.sharding.Mesh | None":
     """Build the inference (data, member) mesh.
 
@@ -92,11 +92,19 @@ def _resolve_mesh(
 
     Auto heuristic (mesh_shape None, >1 device): among factorizations
     (d, m) of <= device_count with ``batch_size % d == 0`` and m == 1 or
-    ``stacked_members % m == 0``, pick the one using the most devices,
-    tie-broken toward the larger data axis (batch work exists for every
-    source; member work only for stacked ones). Returns None when only one
-    device is usable (explicit [1,1], or nothing divides).
+    m dividing EVERY stacked source's member count (a heterogeneous job may
+    carry several stacked sources and each one's stack must split evenly over
+    the member axis), pick the one using the most devices, tie-broken toward
+    the larger data axis (batch work exists for every source; member work
+    only for stacked ones). Returns None when only one device is usable
+    (explicit [1,1], or nothing divides).
     """
+
+    def _member_ok(m: int) -> bool:
+        if m == 1:
+            return True
+        return bool(stacked_members) and all(n % m == 0 for n in stacked_members)
+
     n_dev = jax.device_count()
     if mesh_shape is not None:
         d, m = int(mesh_shape[0]), int(mesh_shape[1])
@@ -105,10 +113,10 @@ def _resolve_mesh(
         if batch_size % d != 0:
             raise ValueError(
                 f"batch_size {batch_size} not divisible by mesh data axis {d}")
-        if m > 1 and (stacked_members is None or stacked_members % m != 0):
+        if not _member_ok(m):
             raise ValueError(
-                f"mesh member axis {m} needs a stacked-member source whose "
-                f"member count divides it (have {stacked_members})")
+                f"mesh member axis {m} must divide every stacked source's "
+                f"member count (have {list(stacked_members)})")
         return make_mesh((d, m), ("data", "member"))
     if n_dev <= 1:
         return None
@@ -118,7 +126,7 @@ def _resolve_mesh(
             continue
         m_max = n_dev // d
         for m in range(1, m_max + 1):
-            if m > 1 and (stacked_members is None or stacked_members % m != 0):
+            if not _member_ok(m):
                 continue
             if (d * m, d) > (best[0] * best[1], best[0]):
                 best = (d, m)
@@ -282,10 +290,7 @@ class UncertaintyInference:
             for src in self.sources
             if src["spec"].member_mode == "params_stack"
         ]
-        self.mesh = _resolve_mesh(
-            icfg.mesh_shape, icfg.batch_size,
-            stacked_counts[0] if stacked_counts else None,
-        )
+        self.mesh = _resolve_mesh(icfg.mesh_shape, icfg.batch_size, stacked_counts)
         if self.mesh is not None:
             member_dim = self.mesh.shape["member"]
             for src in self.sources:
@@ -294,7 +299,19 @@ class UncertaintyInference:
                 else:
                     src["params"] = replicate(src["params"], self.mesh)
 
+        member_sharded = self.mesh is not None and self.mesh.shape["member"] > 1
         for src in self.sources:
+            spec = src["spec"]
+            if spec.member_chunk == "auto" and spec.member_mode == "params_stack":
+                # resolve from the runner's own mesh decision: a member axis
+                # sharded over the mesh must stay vmapped; unsharded stacks on
+                # TPU run fastest as a member-scan (SamplerSpec.member_chunk)
+                resolved = (
+                    None
+                    if member_sharded
+                    else (1 if jax.default_backend() == "tpu" else None)
+                )
+                src["spec"] = spec = dataclasses.replace(spec, member_chunk=resolved)
             src["sampler"] = make_sampler(src["built"], src["spec"])
             src["jit_sampler"] = jax.jit(src["sampler"])
 
@@ -381,10 +398,25 @@ class UncertaintyInference:
             return {"skipped": True, "split": split}
         ds = self._dataset(split)
         loader = BatchLoader(ds, icfg.batch_size, shuffle=False)
-        writer = ResultsWriter(out_dir, binary=self.built.num_classes == 2)
         rng = jax.random.key(icfg.seed)
         n_images = 0
         t0 = time.time()
+        # context manager: aborts the async write pool if the loop raises,
+        # flushes (join + metrics.json) on success
+        with ResultsWriter(out_dir, binary=self.built.num_classes == 2) as writer:
+            n_images = self._run_split_loop(loader, writer, rng)
+        elapsed = time.time() - t0
+        return {
+            "split": split,
+            "n_images": n_images,
+            "seconds": elapsed,
+            "images_per_sec": n_images / elapsed if elapsed > 0 else float("nan"),
+            "out_dir": str(out_dir),
+        }
+
+    def _run_split_loop(self, loader, writer, rng) -> int:
+        icfg = self.icfg
+        n_images = 0
         for batch in loader:
             rng, key = jax.random.split(rng)
             images = normalize_batch(jnp.asarray(batch["image"]), self.aug_cfg)
@@ -430,15 +462,7 @@ class UncertaintyInference:
                     }
                     writer.save_uncertainty(image_id, heatmaps)
                 n_images += 1
-        writer.flush()
-        elapsed = time.time() - t0
-        return {
-            "split": split,
-            "n_images": n_images,
-            "seconds": elapsed,
-            "images_per_sec": n_images / elapsed if elapsed > 0 else float("nan"),
-            "out_dir": str(out_dir),
-        }
+        return n_images
 
     def run(self, splits: Sequence[str]) -> list[dict]:
         return [self.run_split(s) for s in splits]

@@ -28,26 +28,33 @@ def rc_curve_stats(
     sorted_conf = confids[order]
 
     coverages = [1.0]
-    selective_risks = [float(sorted_risks.sum()) / n]
+    selective_risks = [float(sorted_risks.sum()) / n if n else 0.0]
     weights: list[float] = []
+    if n < 2:
+        return coverages, selective_risks, weights
 
     # cumulative risk removed after dropping samples 0..i
     removed = np.cumsum(sorted_risks)
-    total = removed[-1] if n else 0.0
+    total = removed[-1]
 
-    tmp_weight = 0
-    for i in range(n - 1):
-        tmp_weight += 1
-        if i == 0 or sorted_conf[i] != sorted_conf[i - 1]:
-            coverage = n - 1 - i
-            coverages.append(coverage / n)
-            selective_risks.append(float(total - removed[i]) / (n - 1 - i))
-            weights.append(tmp_weight / n)
-            tmp_weight = 0
-    if tmp_weight > 0:
+    # an RC point is emitted at removal index i in [0, n-2] whenever the
+    # sorted confidence changes (ties collapse); its weight is the number
+    # of samples consumed since the previous emission
+    emit = np.flatnonzero(
+        np.concatenate(([True], sorted_conf[1 : n - 1] != sorted_conf[: n - 2]))
+    )
+    cov = (n - 1 - emit).astype(np.float64)
+    coverages.extend((cov / n).tolist())
+    selective_risks.extend(((total - removed[emit]) / cov).tolist())
+    weights.extend((np.diff(emit, prepend=-1) / n).tolist())
+
+    # trailing ties past the last emission collapse into a final zero-coverage
+    # step at the last selective risk
+    trailing = (n - 1) - (emit[-1] + 1)
+    if trailing > 0:
         coverages.append(0.0)
         selective_risks.append(selective_risks[-1])
-        weights.append(tmp_weight / n)
+        weights.append(trailing / n)
     return coverages, selective_risks, weights
 
 

@@ -66,10 +66,24 @@ def initialize_distributed(
         return False  # single process, nothing to do
     kwargs = {}
     if coordinator_address is not None:
+        num_processes = num_processes if num_processes is not None else env_np
+        process_id = process_id if process_id is not None else env_pid
+        missing = [
+            name
+            for name, val in (
+                ("DU_NUM_PROCESSES", num_processes),
+                ("DU_PROCESS_ID", process_id),
+            )
+            if val is None
+        ]
+        if missing:
+            raise ValueError(
+                "explicit coordinator rendezvous needs the process topology: "
+                f"set {' and '.join(missing)} (or pass num_processes/process_id)"
+            )
         kwargs["coordinator_address"] = coordinator_address
-        kwargs["num_processes"] = int(
-            num_processes if num_processes is not None else env_np)
-        kwargs["process_id"] = int(process_id if process_id is not None else env_pid)
+        kwargs["num_processes"] = int(num_processes)
+        kwargs["process_id"] = int(process_id)
     jax.distributed.initialize(**kwargs)
     return jax.process_count() > 1
 

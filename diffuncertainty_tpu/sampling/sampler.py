@@ -56,11 +56,12 @@ class SamplerSpec:
     # unet16@128 ensemble+TTA bf16: chunk1 86.6 img/s > chunk2 83.3 >
     # chunk4 78.9 > full vmap 73.6 — so a member-scan of plain dense
     # programs is both fastest and lowest-memory.
-    # NOTE: "auto" is resolved ONCE, at make_sampler() time, from
-    # jax.default_backend()/jax.device_count() — build samplers AFTER
-    # device/mesh setup. A single-host multi-device process that does NOT
-    # shard the member axis still gets the (slower) vmap path under "auto";
-    # pass member_chunk=1 explicitly to force the member-scan there
+    # "auto" resolves at CALL time (jit-trace time), not at build time, so
+    # samplers built before mesh/distributed setup cannot bake in a stale
+    # strategy. Eager calls with concrete stacked params key on the ACTUAL
+    # member-axis sharding (sharded -> vmap; unsharded on TPU -> scan);
+    # traced calls fall back to trace-time backend/device_count. The
+    # production runner resolves "auto" explicitly from its mesh decision
     # (perf-only: every strategy is numerically pinned by tests).
     tta: bool = False
     tta_config: TTAConfig = TTAConfig()
@@ -138,25 +139,43 @@ def make_sampler(built: BuiltModel, spec: SamplerSpec) -> Callable:
         fold_module = module.clone(members=spec.n_members)
     apply_module = fold_module if fold_module is not None else module
 
-    chunk: int | None
-    if fold_module is not None:
-        chunk = None  # folded execution replaces both vmap and chunking
-    elif spec.member_chunk == "auto":
-        # single-TPU stacked ensembles: scan members (chunk 1) — grouped-conv
-        # vmap measured slower (see SamplerSpec.member_chunk). With multiple
-        # devices the member axis may be sharded over the mesh, where the
-        # scan would serialize what vmap parallelizes — keep vmap there.
-        chunk = (
+    def _resolve_chunk(params) -> int | None:
+        """Resolve the member execution strategy at call (trace) time.
+
+        Stacked-ensemble members on a single TPU run fastest as a member-scan
+        (chunk 1) — grouped-conv vmap measured slower (see
+        SamplerSpec.member_chunk) — but a member axis sharded over a mesh must
+        stay vmapped (a scan would serialize what the mesh parallelizes).
+        """
+        if fold_module is not None:
+            return None  # folded execution replaces both vmap and chunking
+        if spec.member_chunk != "auto":
+            return spec.member_chunk
+        if spec.member_mode != "params_stack":
+            return None
+        leaf = next(iter(jax.tree.leaves(params)), None)
+        if (
+            isinstance(leaf, jax.Array)
+            and not isinstance(leaf, jax.core.Tracer)
+            and hasattr(leaf, "sharding")
+        ):
+            # concrete stack: key on the actual member-axis sharding
+            if leaf.sharding.shard_shape(leaf.shape)[0] != leaf.shape[0]:
+                return None  # member axis sharded -> vmap
+            return 1 if jax.default_backend() == "tpu" else None
+        # traced call (sharding unknowable): trace-time topology fallback —
+        # multi-device processes may shard the member axis, keep vmap there
+        return (
             1
-            if (
-                spec.member_mode == "params_stack"
-                and jax.default_backend() == "tpu"
-                and jax.device_count() == 1
-            )
+            if jax.default_backend() == "tpu" and jax.device_count() == 1
             else None
         )
-    else:
-        chunk = spec.member_chunk
+
+    # static view for program-shape decisions that cannot wait for call time:
+    # "auto" yields chunk=None for every non-params_stack mode
+    static_chunk: int | None = (
+        None if spec.member_chunk == "auto" else spec.member_chunk
+    )
 
     def _apply(params, *args, dropout_key=None, method=None, **kw):
         rngs = {"dropout": dropout_key} if (needs_dropout and dropout_key is not None) else None
@@ -322,7 +341,7 @@ def make_sampler(built: BuiltModel, spec: SamplerSpec) -> Callable:
         spec.flat_fold
         and spec.member_mode in ("single", "dropout")
         and not spec.same_dropout
-        and chunk is None
+        and static_chunk is None
     ) or fold_module is not None
     generative_count = (
         (n_members if member_is_generative else 0) + spec.external_generative_members
@@ -347,6 +366,7 @@ def make_sampler(built: BuiltModel, spec: SamplerSpec) -> Callable:
     def sampler(params, images, rng):
         if use_flat:
             return _finalize(flat_fn(params, rng, images))
+        chunk = _resolve_chunk(params)
         member_keys = jax.random.split(rng, n_members)
         if spec.member_mode == "params_stack":
             if chunk:

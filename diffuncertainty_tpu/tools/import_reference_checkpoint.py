@@ -23,6 +23,7 @@ import numpy as np
 from ..core.checkpoint import save_checkpoint
 from ..core.config import ExperimentConfig, apply_overrides
 from ..core.torch_import import import_torch_state_dict, strip_prefixes
+from ..data.augment import check_geometric_transform_support
 from ..models.factory import build_model
 
 
@@ -89,7 +90,52 @@ def translate_hparams(hparams: dict) -> ExperimentConfig:
         ]:
             if src in data:
                 ov(dst, data[src])
+        aug = data.get("augmentations")
+        if isinstance(aug, dict):
+            # guard: geometric transforms outside {flip, rotate, scale} in
+            # the training pipeline would be silently dropped by the TTA
+            # knob sampler — reject them instead (test_2D.py:56-73 whitelist)
+            check_geometric_transform_support(
+                aug.get("TRAIN"), context="reference data.augmentations.TRAIN"
+            )
+            for src, dst in [
+                ("rotation_limit", "data.augmentations.rotation_limit"),
+                ("gauss_noise_p", "data.augmentations.gauss_noise_p"),
+                ("height", "data.augmentations.height"),
+                ("width", "data.augmentations.width"),
+                ("augment_mult", "data.augmentations.augment_mult"),
+            ]:
+                if src in aug:
+                    ov(dst, aug[src])
+            for src, dst in [
+                ("scale_limit", "data.augmentations.scale_limit"),
+                ("gauss_noise_var_limit", "data.augmentations.gauss_noise_var_limit"),
+                ("mean", "data.augmentations.mean"),
+                ("std", "data.augmentations.std"),
+            ]:
+                if src in aug:
+                    ov(dst, str(list(aug[src])).replace(" ", ""))
+            hflip_p = _find_transform_param(aug.get("TRAIN"), "HorizontalFlip", "p")
+            if hflip_p is not None:
+                ov("data.augmentations.hflip_p", hflip_p)
     return apply_overrides(cfg, overrides)
+
+
+def _find_transform_param(transforms, name: str, param: str):
+    """First ``{name: {param: ...}}`` value in an albumentations-style tree."""
+    if isinstance(transforms, dict):
+        for k, body in transforms.items():
+            if k == name and isinstance(body, dict) and param in body:
+                return body[param]
+            hit = _find_transform_param(body, name, param)
+            if hit is not None:
+                return hit
+    elif isinstance(transforms, (list, tuple)):
+        for item in transforms:
+            hit = _find_transform_param(item, name, param)
+            if hit is not None:
+                return hit
+    return None
 
 
 def convert(

@@ -6,6 +6,7 @@ positive-slice extraction, file contract — is exercised here on synthetic
 CT-like volumes with analytically-known nodules.
 """
 
+import ast
 import csv
 
 import numpy as np
@@ -157,8 +158,15 @@ def test_save_crops_contract(tmp_path):
     assert len(rows) == len(stems)
     assert rows[0]["Patient ID"] == "LIDC-IDRI-0001"
     assert rows[0]["Scan ID"] == "0001"
-    assert "malignancy" in rows[0] and rows[0]["malignancy"] == "2"
+    # feature cells are per-rater list reprs, None-padded to 4 raters, and
+    # the segmentation paths a list repr — the reference's pandas cell format
+    # (save_cropped_nodules_2d.py:38-58,131-144)
+    malignancy = ast.literal_eval(rows[0]["malignancy"])
+    assert len(malignancy) == 4 and malignancy[0] == 2 and malignancy[3] is None
     assert "internal Structure" in rows[0]
+    seg_paths = ast.literal_eval(rows[0]["Segmentation Save Paths"])
+    assert isinstance(seg_paths, list) and len(seg_paths) == 4
+    assert seg_paths[0].endswith("_00_mask.npy")
 
 
 def test_chain_raw_to_importer_contract(tmp_path):
