@@ -12,8 +12,18 @@ from .aggregation import (
     compute_prediction_shape_stats,
 )
 from .runner import EvalRunner, run_default_evaluation
+from .experiments import (
+    EvalMatrix,
+    ExperimentVersion,
+    expand_versions,
+    write_matrix_report,
+)
 
 __all__ = [
+    "EvalMatrix",
+    "ExperimentVersion",
+    "expand_versions",
+    "write_matrix_report",
     "ResultsReader",
     "image_level_aggregation",
     "patch_level_aggregation",
