@@ -50,6 +50,7 @@ def generate_toy_dataset(
     noise_level: float = 0.08,
     seed: int = 0,
     ood_shifts: tuple[str, ...] = ("ood_noise", "ood_blur"),
+    num_unlabeled: int = 0,
 ) -> Path:
     """Generate and write the dataset; returns the base dir.
 
@@ -66,7 +67,7 @@ def generate_toy_dataset(
         "num_train": num_train, "num_val": num_val, "num_test": num_test,
         "num_ood": num_ood, "num_raters": num_raters, "size": size,
         "ambiguity": ambiguity, "noise_level": noise_level, "seed": seed,
-        "ood_shifts": list(ood_shifts),
+        "ood_shifts": list(ood_shifts), "num_unlabeled": num_unlabeled,
     }
     manifest_path = out_dir / "_manifest.json"
     if manifest_path.exists():
@@ -100,6 +101,9 @@ def generate_toy_dataset(
     train = [make_case(f"train_{i:04d}") for i in range(num_train)]
     val = [make_case(f"val_{i:04d}") for i in range(num_val)]
     id_test = [make_case(f"test_{i:04d}") for i in range(num_test)]
+    # active-learning pool: unqueried in-distribution cases (the reference's
+    # unlabeled pool moved into train for cycle 2, split_files_second_cycle.py)
+    unlabeled = [make_case(f"pool_{i:04d}") for i in range(num_unlabeled)]
 
     ood_lists: dict[str, list[str]] = {}
     for shift in ood_shifts:
@@ -132,6 +136,8 @@ def generate_toy_dataset(
         "val": val,
         "id": id_test,
     }
+    if unlabeled:
+        fold["unlabeled"] = unlabeled
     fold.update(ood_lists)
     # paired splits for OoD detection (id&ood_x convention,
     # experiment_dataloader.py paired-split handling)

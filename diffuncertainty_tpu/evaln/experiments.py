@@ -359,8 +359,21 @@ class EvalMatrix:
         unknown = [t for t in tasks if t not in KNOWN_TASKS]
         if unknown:
             raise ValueError(f"unknown eval tasks {unknown}; known: {KNOWN_TASKS}")
-        self.classify(tasks)
+        statuses = self.classify(tasks)
         self.log(self.status_summary())
+        # a missing version without skip_missing is a configuration error —
+        # running "successfully" over zero split dirs hides typos in the
+        # naming scheme (the reference likewise raises from split discovery,
+        # eval_experiments.py:295-325)
+        unskippable = [
+            v.label() for v in self.versions
+            if statuses[v.exp_path.as_posix()]["missing"] and not v.skip_missing
+        ]
+        if unskippable:
+            raise FileNotFoundError(
+                f"{len(unskippable)} version(s) have no evaluable results "
+                f"(set skip_missing=True to skip them): {unskippable[:5]}"
+            )
         summary: dict[str, str] = {}
         for task in tasks:
             self.log(f"ANALYSING TASK: {task}")

@@ -1,0 +1,452 @@
+"""Run the ValUES validation study end to end on the controlled toy environment.
+
+This is the framework's reason to exist (``/root/reference/README.md:19-25``,
+``evaluation/README.md:28-36``): systematically validate uncertainty methods —
+the (C1 prediction model = AU type) x (EU method) matrix — on the downstream
+tasks, with seed-grouped conclusions. The reference orchestrates this through
+``eval_experiments.py``'s version matrix after manually launching the
+training/testing grids; here one entry point drives the whole study:
+
+1. generate the controlled toy dataset (known aleatoric ambiguity via rater
+   threshold jitter, known OoD shifts, an unlabeled AL pool);
+2. train the AU x EU x seed training matrix briefly;
+3. run fused uncertainty inference per version on id / ood / val splits;
+4. evaluate the full task set through ``EvalMatrix`` (threshold, area,
+   aggregation, paired OoD detection, failure detection, ambiguity, calibration);
+5. run one active-learning arm (uncertainty vs random vs worst queries,
+   second-cycle retraining, ``al_improvement`` both directions);
+6. emit the seed-grouped ds-task table (CSV + LaTeX), the AU-vs-EU scatter,
+   and a summary JSON with direction-of-effect checks:
+   - EU methods reach at least the softmax-entropy baseline's OoD AUROC;
+   - AU heatmaps correlate with rater ambiguity (NCC > 0);
+   - AL improvement computed for the uncertainty and worst-query directions.
+
+Usage:
+    python -m diffuncertainty_tpu.tools.values_study /tmp/values_study \
+        [--quick] [--epochs N] [--seeds 0 1]
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import time
+from pathlib import Path
+from typing import Sequence
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class StudyConfig:
+    workdir: Path
+    au_types: tuple[str, ...] = ("softmax", "ssn", "diffusion", "prob_unet")
+    eu_methods: tuple[str, ...] = ("none", "dropout", "swag")
+    seeds: tuple[int, ...] = (0, 1)
+    epochs: int = 6
+    n_pred: int = 4
+    n_models: int = 4
+    image_size: int = 32
+    num_train: int = 24
+    num_val: int = 8
+    num_test: int = 16
+    num_ood: int = 16
+    num_unlabeled: int = 12
+    batch_size: int = 8
+    diffusion_num_steps: int = 5
+    al_arm: tuple[str, str] | None = ("softmax", "dropout")  # (au, eu) or None
+    ood_shifts: tuple[str, ...] = ("ood_noise", "ood_blur")
+    model_channels: int = 8
+
+
+SMALL_NET = [
+    "network.model_channels={ch}",
+    "network.num_res_blocks=[1,1]",
+    "network.channel_mult=[1,2]",
+    "network.attention_resolutions=[-1]",
+    "model.n_aleatoric_samples=4",
+    "trainer.learning_rate=0.003",
+]
+
+
+def _method_name(au: str, eu: str) -> str:
+    return f"{au}_{eu}"
+
+
+def _load_run_config(scfg: StudyConfig, toy: Path, au: str, eu: str, seed: int):
+    from ..core.config import load_config
+
+    overrides = [o.format(ch=scfg.model_channels) for o in SMALL_NET] + [
+        f"trainer.max_epochs={scfg.epochs}",
+        f"data.batch_size={scfg.batch_size}",
+        f"save_dir={scfg.workdir / 'saves'}",
+        f"data.data_input_dir={toy}",
+        "data.split_name=default",
+        f"exp_name={_method_name(au, eu)}",
+        f"version=s{seed}",
+        f"seed={seed}",
+    ]
+    return load_config(
+        data="toy64", network="unet4", model=au, eu_method=eu, overrides=overrides
+    )
+
+
+def _train_one(scfg: StudyConfig, toy: Path, splits: Path, au: str, eu: str, seed: int) -> Path:
+    from ..data import BatchLoader, MultiRaterDataset
+    from ..train import Trainer
+
+    # resumable matrix: a finished cell is skipped on re-runs (the study-level
+    # analog of the framework's skip_existing idempotency)
+    done = (
+        scfg.workdir / "saves" / _method_name(au, eu) / f"s{seed}"
+        / "checkpoints" / "last"
+    )
+    if done.exists():
+        return done
+    cfg = _load_run_config(scfg, toy, au, eu, seed)
+    trainer = Trainer(cfg)
+    train_ds = MultiRaterDataset(splits, toy, split="train", return_all_raters=False)
+    val_ds = MultiRaterDataset(splits, toy, split="val")
+    trainer.fit(
+        BatchLoader(train_ds, scfg.batch_size, shuffle=True, drop_last=True, seed=seed),
+        BatchLoader(val_ds, scfg.batch_size),
+    )
+    return trainer.workdir / "checkpoints" / "last"
+
+
+def _infer_one(
+    scfg: StudyConfig, ckpt: Path, au: str, eu: str, seed: int, splits_to_run: Sequence[str]
+):
+    from ..infer import InferenceConfig, UncertaintyInference
+
+    icfg = InferenceConfig(
+        n_pred=scfg.n_pred,
+        n_models=1 if eu == "none" else scfg.n_models,
+        batch_size=scfg.batch_size,
+        save_dir=str(scfg.workdir / "results"),
+        version=f"s{seed}",
+        use_ema=True,
+        tta=(au == "softmax"),  # TTA is the softmax AU sampler (README C1)
+        diffusion_num_steps=scfg.diffusion_num_steps if au == "diffusion" else None,
+        diffusion_sampler="ddim" if au == "diffusion" else None,
+        skip_existing=True,
+    )
+    inf = UncertaintyInference([ckpt], icfg)
+    for split in splits_to_run:
+        inf.run_split(split)
+    return inf
+
+
+def _run_al_arm(scfg: StudyConfig, toy: Path, splits: Path, exp_path: Path, seed: int) -> dict:
+    """One AL second cycle: query the pool by uncertainty / random / worst,
+    retrain, compare mean test Dice (``al_improvement`` both directions)."""
+    from ..data import BatchLoader, MultiRaterDataset
+    from ..evaln.al_splits import generate_second_cycle_splits
+    from ..evaln.dataloader import ResultsReader
+    from ..evaln.tasks import al_improvement
+    from ..infer import InferenceConfig, UncertaintyInference
+    from ..train import Trainer
+
+    au, eu = scfg.al_arm
+    pool_dir = exp_path / "unlabeled"
+    # d1: first-cycle test Dice of this method/seed
+    d1 = _mean_dice(exp_path / "id")
+
+    dice2 = {}
+    for strategy in ("uncertainty", "random", "worst"):
+        out_splits = scfg.workdir / f"al_splits_{strategy}.pkl"
+        generate_second_cycle_splits(
+            splits, pool_dir / "aggregated_TU.json", out_splits,
+            pool_split="unlabeled", strategy=strategy, seed=seed,
+        )
+        cfg = _load_run_config(scfg, toy, au, eu, seed)
+        cfg = dataclasses.replace(
+            cfg,
+            exp_name=f"{_method_name(au, eu)}_al_{strategy}",
+            data=dataclasses.replace(cfg.data, splits_path=str(out_splits)),
+        )
+        trainer = Trainer(cfg)
+        train_ds = MultiRaterDataset(out_splits, toy, split="train", return_all_raters=False)
+        trainer.fit(
+            BatchLoader(train_ds, scfg.batch_size, shuffle=True, drop_last=True, seed=seed),
+            None,
+        )
+        icfg = InferenceConfig(
+            n_pred=scfg.n_pred, n_models=scfg.n_models, batch_size=scfg.batch_size,
+            save_dir=str(scfg.workdir / "results_al"), version=f"s{seed}_{strategy}",
+            use_ema=True, tta=(au == "softmax"),
+        )
+        inf = UncertaintyInference([trainer.workdir / "checkpoints" / "last"], icfg)
+        inf.run_split("id")
+        dice2[strategy] = _mean_dice(inf.split_dir("id"))
+
+    return {
+        "dice_first_cycle": d1,
+        "dice_second_cycle": dice2,
+        # improvement of uncertainty- and worst-queried cycles over random:
+        # the two directions of the reference's relative-improvement metric
+        # (al_improvement.py:6-72)
+        "al_improvement_uncertainty": al_improvement(d1, dice2["uncertainty"], dice2["random"]),
+        "al_improvement_worst": al_improvement(d1, dice2["worst"], dice2["random"]),
+    }
+
+
+def _mean_dice(split_dir: Path) -> float:
+    metrics = json.loads((split_dir / "metrics.json").read_text())
+    return float(np.mean([rec["metrics"]["dice"] for rec in metrics.values()]))
+
+
+def run_values_study(scfg: StudyConfig) -> dict:
+    from ..data import MultiRaterDataset
+    from ..data.toy import generate_toy_dataset
+    from ..evaln import EvalMatrix, expand_versions
+    from ..evaln.visualization import au_eu_scatter, collect_results, task_table, to_latex
+
+    t0 = time.time()
+    work = Path(scfg.workdir)
+    work.mkdir(parents=True, exist_ok=True)
+    report_dir = work / "report"
+    report_dir.mkdir(exist_ok=True)
+
+    # 1. controlled environment ------------------------------------------------
+    toy = generate_toy_dataset(
+        work / "toy", num_train=scfg.num_train, num_val=scfg.num_val,
+        num_test=scfg.num_test, num_ood=scfg.num_ood, size=scfg.image_size,
+        seed=0, ood_shifts=scfg.ood_shifts, num_unlabeled=scfg.num_unlabeled,
+    )
+    splits = toy / "splits" / "default" / "firstCycle" / "splits.pkl"
+
+    # 2+3. training & inference matrix -----------------------------------------
+    cells = [
+        (au, eu, seed)
+        for au in scfg.au_types for eu in scfg.eu_methods for seed in scfg.seeds
+    ]
+    eval_splits = ["id", "val", *scfg.ood_shifts]
+    epochs_seen = set()
+    infer_handles = {}
+    for au, eu, seed in cells:
+        label = f"{_method_name(au, eu)}_s{seed}"
+        ckpt = _train_one(scfg, toy, splits, au, eu, seed)
+        splits_to_run = list(eval_splits)
+        if scfg.al_arm == (au, eu) and seed == scfg.seeds[0] and scfg.num_unlabeled:
+            splits_to_run.append("unlabeled")
+        inf = _infer_one(scfg, ckpt, au, eu, seed, splits_to_run)
+        epochs_seen.add(inf.epoch)
+        infer_handles[label] = inf
+        print(f"[study] {label}: trained {scfg.epochs} epochs, inferenced {splits_to_run}")
+    assert len(epochs_seen) == 1, f"non-uniform epochs {epochs_seen}"
+    epoch = epochs_seen.pop()
+
+    # 4. evaluation matrix ------------------------------------------------------
+    versions = expand_versions(
+        work / "results",
+        [{
+            "iter_params": {
+                "pred_model": [_method_name(au, eu) for au in scfg.au_types
+                               for eu in scfg.eu_methods],
+                "seed": list(scfg.seeds),
+            },
+            "exp_name": "{pred_model}",
+            # inference runs with use_ema=True -> e{epoch}_ema result dirs
+            "naming_scheme_version": "s{seed}/e{epoch}_ema",
+            "n_pred": scfg.n_pred,
+            "epoch": epoch,
+        }],
+    )
+
+    def dataset_factory(version, split):
+        try:
+            return MultiRaterDataset(splits, toy, split=split)
+        except Exception:
+            return None
+
+    matrix = EvalMatrix(
+        versions,
+        dataset_factory=dataset_factory,
+        paired_splits=[("id", s) for s in scfg.ood_shifts],
+        ignore_value=-1,
+    )
+    matrix.run([
+        "threshold", "area", "aggregation", "ood_detection",
+        "failure_detection", "ambiguity_modeling", "calibration",
+    ])
+
+    # 5. active-learning arm ----------------------------------------------------
+    al_results = None
+    if scfg.al_arm is not None and scfg.num_unlabeled:
+        arm_label = _method_name(*scfg.al_arm)
+        arm_version = next(
+            v for v in versions
+            if v.pred_model == arm_label and v.params["seed"] == scfg.seeds[0]
+        )
+        al_results = _run_al_arm(scfg, toy, splits, arm_version.exp_path, scfg.seeds[0])
+
+    # 6. report ------------------------------------------------------------------
+    import pandas as pd
+
+    by_label_split = {
+        f"{v.pred_model}_s{v.params['seed']}": v.exp_path / "id" for v in versions
+    }
+    by_label_exp = {
+        f"{v.pred_model}_s{v.params['seed']}": v.exp_path for v in versions
+    }
+    df = pd.concat([
+        collect_results(by_label_split),
+        collect_results(by_label_exp, include_segmentation=False),
+    ], ignore_index=True)
+    table = task_table(df, group_seeds=True)
+    table.to_csv(report_dir / "ds_task_table.csv")
+    (report_dir / "ds_task_table.tex").write_text(to_latex(table))
+    scatter_path = None
+    try:
+        scatter_path = au_eu_scatter(
+            df, task="ood_detection", metric="auroc",
+            out_path=report_dir / "au_eu_scatter.png",
+        )
+    except ValueError:
+        pass  # matrix too small to carry both AU and EU rows
+
+    checks = _direction_checks(df, scfg, al_results)
+    summary = {
+        "matrix": {
+            "au_types": list(scfg.au_types),
+            "eu_methods": list(scfg.eu_methods),
+            "seeds": list(scfg.seeds),
+            "epochs": scfg.epochs,
+            "n_pred": scfg.n_pred,
+            "n_models": scfg.n_models,
+            "versions": len(versions),
+        },
+        "preflight": matrix.classify([
+            "threshold", "area", "aggregation", "ood_detection",
+            "failure_detection", "ambiguity_modeling", "calibration",
+        ]),
+        "checks": checks,
+        "al": al_results,
+        "wall_seconds": round(time.time() - t0, 1),
+        "artifacts": {
+            "table_csv": str(report_dir / "ds_task_table.csv"),
+            "table_tex": str(report_dir / "ds_task_table.tex"),
+            "scatter": str(scatter_path) if scatter_path else None,
+        },
+    }
+    (report_dir / "summary.json").write_text(json.dumps(summary, indent=2))
+    _write_report_md(report_dir, scfg, df, checks, al_results)
+    return summary
+
+
+def _direction_checks(df, scfg: StudyConfig, al_results) -> dict:
+    """Direction-of-effect sanity over the seed-grouped results."""
+    checks: dict = {}
+
+    # (a) OoD detection: EU-method EU heatmaps vs the softmax-entropy (TU)
+    # baseline of the no-EU softmax method, image_level, mean over seeds+shifts
+    ood = df[(df["task"] == "ood_detection") & (df["metric"] == "auroc")
+             & (df["aggregation"] == "image_level")]
+    baseline_rows = ood[(ood["unc_type"] == "TU")
+                        & ood["version"].str.startswith("softmax_none_s")]
+    baseline = float(baseline_rows["value"].mean()) if len(baseline_rows) else float("nan")
+    eu_scores = {}
+    for eu in scfg.eu_methods:
+        if eu == "none":
+            continue
+        rows = ood[(ood["unc_type"] == "EU")
+                   & ood["version"].str.contains(f"_{eu}_s", regex=False)]
+        if len(rows):
+            eu_scores[eu] = float(rows["value"].mean())
+    best_eu = max(eu_scores.values()) if eu_scores else float("nan")
+    checks["ood_auroc"] = {
+        "softmax_entropy_baseline": baseline,
+        "eu_methods": eu_scores,
+        "best_eu": best_eu,
+        "eu_matches_or_beats_baseline": bool(
+            np.isfinite(best_eu) and (not np.isfinite(baseline) or best_eu >= baseline - 0.02)
+        ),
+        "eu_informative": bool(np.isfinite(best_eu) and best_eu > 0.5),
+    }
+
+    # (b) ambiguity: AU heatmaps correlate with rater-variance GT maps
+    amb = df[(df["task"] == "ambiguity_modeling") & (df["metric"] == "ncc")
+             & (df["unc_type"] == "AU")]
+    ncc_by_method = {}
+    for au in scfg.au_types:
+        rows = amb[amb["version"].str.startswith(f"{au}_")]
+        if len(rows):
+            ncc_by_method[au] = float(rows["value"].mean())
+    checks["ambiguity_ncc"] = {
+        "mean_au_ncc_by_au_type": ncc_by_method,
+        "au_positively_correlated": bool(
+            ncc_by_method and np.mean(list(ncc_by_method.values())) > 0
+        ),
+    }
+
+    # (c) active learning: both directions computed
+    if al_results is not None:
+        checks["al_improvement"] = {
+            "uncertainty_vs_random": al_results["al_improvement_uncertainty"],
+            "worst_vs_random": al_results["al_improvement_worst"],
+            "computed_both_directions": bool(
+                np.isfinite(al_results["al_improvement_uncertainty"])
+                and np.isfinite(al_results["al_improvement_worst"])
+            ),
+        }
+    return checks
+
+
+def _write_report_md(report_dir: Path, scfg: StudyConfig, df, checks, al_results) -> None:
+    lines = [
+        "# ValUES study on the controlled toy environment",
+        "",
+        f"Matrix: AU {list(scfg.au_types)} x EU {list(scfg.eu_methods)} x "
+        f"seeds {list(scfg.seeds)} ({scfg.epochs} epochs, n_pred={scfg.n_pred}, "
+        f"n_models={scfg.n_models}, {scfg.image_size}px toy).",
+        "",
+        "Artifacts: `ds_task_table.csv` / `.tex` (seed-grouped downstream-task "
+        "table), `au_eu_scatter.png` (AU-vs-EU OoD AUROC), `summary.json`.",
+        "",
+        "## Direction-of-effect checks",
+        "",
+        "```json",
+        json.dumps(checks, indent=2),
+        "```",
+    ]
+    if al_results is not None:
+        lines += ["", "## Active-learning arm", "", "```json",
+                  json.dumps(al_results, indent=2), "```"]
+    (report_dir / "REPORT.md").write_text("\n".join(lines) + "\n")
+
+
+def main(argv: Sequence[str] | None = None) -> None:
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("workdir")
+    ap.add_argument("--epochs", type=int, default=6)
+    ap.add_argument("--seeds", type=int, nargs="+", default=[0, 1])
+    ap.add_argument("--quick", action="store_true",
+                    help="2 AU x 2 EU miniature (smoke)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force CPU (8 virtual devices)")
+    args = ap.parse_args(argv)
+    if args.cpu:
+        import os
+
+        os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    scfg = StudyConfig(workdir=Path(args.workdir), epochs=args.epochs,
+                       seeds=tuple(args.seeds))
+    if args.quick:
+        scfg = dataclasses.replace(
+            scfg, au_types=("softmax", "ssn"), eu_methods=("none", "dropout"),
+            epochs=min(args.epochs, 3), num_train=16, num_test=8, num_ood=8,
+            num_unlabeled=8, ood_shifts=("ood_noise",),
+        )
+    summary = run_values_study(scfg)
+    print(json.dumps(summary["checks"], indent=2))
+    print(f"study complete in {summary['wall_seconds']}s -> {scfg.workdir}/report")
+
+
+if __name__ == "__main__":
+    main()
