@@ -49,8 +49,10 @@ def initialize_distributed(
     call unconditionally at entry-point start: single-process invocations
     with no coordinator configured are a no-op.
     """
-    if jax.process_count() > 1:
-        return True
+    # must not touch the backend before deciding: jax.process_count() would
+    # initialise XLA and make a later jax.distributed.initialize() illegal
+    if jax.distributed.is_initialized():
+        return jax.process_count() > 1
     coordinator_address = coordinator_address or os.environ.get("DU_COORDINATOR")
     env_np = os.environ.get("DU_NUM_PROCESSES")
     env_pid = os.environ.get("DU_PROCESS_ID")

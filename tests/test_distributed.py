@@ -116,3 +116,56 @@ def test_process_shard_validates_index():
         assert "process_shard" in str(e)
     else:
         raise AssertionError("invalid process_shard accepted")
+
+
+# ---------------------------------------------------------------------------
+# the REAL multi-process paths: 2 local CPU processes over a rendezvous
+# ---------------------------------------------------------------------------
+
+def test_two_process_rendezvous_and_global_batch(tmp_path):
+    """Spawns 2 subprocesses (tests/distributed_worker.py) that rendezvous via
+    jax.distributed over localhost and exercise the NON-degenerate branches of
+    parallel/distributed.py: DU_* env rendezvous, per-process loader shards,
+    ``jax.make_array_from_process_local_data`` batch assembly, a cross-process
+    all-reduce gradient (gloo CPU collectives), and primary-only writes."""
+    import json
+    import os
+    import socket
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    worker = Path(__file__).parent / "distributed_worker.py"
+    env = {k: v for k, v in os.environ.items() if not k.startswith("DU_")}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(port), str(i), str(tmp_path)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, err = p.communicate(timeout=300)
+            assert p.returncode == 0, f"worker failed:\n{err[-3000:]}"
+            outs.append(json.loads(out.strip().splitlines()[-1]))
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+
+    by_pid = {o["pid"]: o for o in outs}
+    assert set(by_pid) == {0, 1}
+    for o in outs:
+        assert o["n_devices"] == 4 and o["n_local"] == 2
+        # global batch carried rows from BOTH processes (0s and 1s)
+        assert abs(o["mean"] - 0.5) < 1e-6, o
+        # DP gradient = 2 * E[x^2] * w over the GLOBAL batch
+        assert abs(o["grad"] - 1.0) < 1e-6, o
+    assert by_pid[0]["primary"] and not by_pid[1]["primary"]
+    marker = tmp_path / "primary_marker.txt"
+    assert marker.read_text().strip() == "written by process 0"
