@@ -479,6 +479,28 @@ def main():
     headline = {k: result[k] for k in (
         "metric", "value", "unit", "vs_baseline", "p50_latency_ms",
         "latency_batch1_ms", "baseline_images_per_sec", "weights") if k in result}
+    # the FULL defensible record must survive the driver's tail capture:
+    # vs_faithful (live-measured reference structure + its host-warp cost)
+    # and the per-family throughputs — round-3's headline carried only the
+    # deliberately-weakest multiplier and the family table got truncated
+    if "vs_faithful_baseline" in result:
+        headline["vs_faithful_baseline"] = result["vs_faithful_baseline"]
+        headline["faithful_baseline_images_per_sec"] = (
+            result["faithful_baseline"]["images_per_sec"])
+    headline["families"] = {
+        name: result[name]["value"]
+        for name in ("ensemble_stack", "ssn", "prob_unet", "hrnet",
+                     "diffusion_sampler", "sliding_window")
+        if name in result and isinstance(result[name], dict) and "value" in result[name]
+    }
+    headline["family_quality"] = {
+        name: {m: result[name]["quality"][m]
+               for m in ("dice", "ged_bma", "aurc", "ece")
+               if m in result[name].get("quality", {})}
+        for name in ("ensemble_stack", "ssn", "prob_unet", "hrnet",
+                     "diffusion_sampler")
+        if isinstance(result.get(name), dict) and "quality" in result[name]
+    }
     if "quality_fast" in result:
         headline["quality"] = result["quality_fast"]
     headline["detail"] = "full per-family record on the previous stdout line"
