@@ -23,7 +23,11 @@ def rc_curve_stats(
     confids = np.asarray(confids, dtype=np.float64)
     assert risks.ndim == 1 and confids.ndim == 1 and len(risks) == len(confids)
     n = len(risks)
-    order = np.argsort(confids, kind="stable")
+    # default (unstable) argsort like the reference: with tied confidences
+    # the FIRST element of each tie block is emitted mid-block, so within-tie
+    # order is observable — numpy's default introsort is the spec here
+    # (tests/test_eval_parity.py pins bitwise agreement)
+    order = np.argsort(confids)
     sorted_risks = risks[order]
     sorted_conf = confids[order]
 
