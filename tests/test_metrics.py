@@ -195,9 +195,14 @@ def test_ged_multiclass_brute_force(rng):
 def _brute_force_aurc(risks, confids):
     """Independent implementation from the fd-shifts definition: drop samples
     in ascending-confidence order, emit an RC point per distinct confidence,
-    trapezoid between consecutive points weighted by fraction dropped."""
+    trapezoid between consecutive points weighted by fraction dropped.
+
+    Within-tie order is observable (the point emitted at a tie block's first
+    element excludes only part of the block), and the reference's spec is
+    numpy's DEFAULT unstable argsort (tests/test_eval_parity.py pins bitwise
+    agreement with the reference implementation) — use the same here."""
     n = len(risks)
-    order = np.argsort(confids, kind="stable")
+    order = np.argsort(confids)
     r = np.asarray(risks, float)[order]
     c = np.asarray(confids, float)[order]
     points = [(1.0, r.sum() / n)]
