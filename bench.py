@@ -472,6 +472,44 @@ def main():
         result["diffusion_sampler"]["quality"] = quality_eval(
             built_d, diff_sampler, params_d, "diffusion ddim10x16", cfg_d.data)
 
+    # ---- multi-class full-frame sliding-window (GTA-style, trained) ----
+    # closes the multiclass quality loop: label-switch-trained asset through
+    # tiled 256x512 inference, Dice/GED vs switched references, NCC vs the
+    # analytic switch map, palette-PNG roundtrip (reference GTA pipeline +
+    # evaluation/utils/gta.py:15-45)
+    if not _SMOKE:
+        try:
+            cfg_mc = load_config(data="gta_toy", network="unet16",
+                                 model="softmax", eu_method="dropout")
+            built_mc = build_model(cfg_mc)
+            x_mc = jnp.zeros((1, 128, 128, built_mc.module.in_channels), jnp.float32)
+            params_mc = built_mc.module.init(
+                {"params": rng, "dropout": jax.random.fold_in(rng, 5)}, x_mc)
+            loaded_mc = load_asset(
+                REPO / "assets" / "bench_unet16_gtatoy_multiclass.npz", params_mc)
+            if loaded_mc is not None:
+                from diffuncertainty_tpu.tools.multiclass_quality import (
+                    gta_toy_quality_eval,
+                )
+
+                mc = gta_toy_quality_eval(
+                    built_mc, loaded_mc, cfg_mc.data, frames=8,
+                    frame_size=(256, 512), window=128, stride=64, members=8,
+                    log=_log,
+                )
+                result["full_frame_multiclass"] = {
+                    "metric": "frames/sec/chip, 8-member MC-dropout sliding-window"
+                              " 256x512 multiclass inference (trained, GTA-style toy)",
+                    "value": mc.pop("frames_per_sec"),
+                    "unit": "frames/sec/chip",
+                    "weights": "trained(gta-toy, label-switch)",
+                    "quality": mc,
+                }
+            else:
+                _log("multiclass asset missing/mismatched -> family skipped")
+        except Exception as exc:  # noqa: BLE001 — never break the headline
+            _log(f"full_frame_multiclass skipped: {exc}")
+
     # Full nested record first, then the compact headline as the FINAL stdout
     # line: the driver records the stdout *tail*, and round 2's single giant
     # line got its headline truncated away (BENCH_r02.json parsed:null).
@@ -487,18 +525,19 @@ def main():
         headline["vs_faithful_baseline"] = result["vs_faithful_baseline"]
         headline["faithful_baseline_images_per_sec"] = (
             result["faithful_baseline"]["images_per_sec"])
+    _FAMILY_KEYS = ("ensemble_stack", "ssn", "prob_unet", "hrnet",
+                    "diffusion_sampler", "full_frame_multiclass")
     headline["families"] = {
         name: result[name]["value"]
-        for name in ("ensemble_stack", "ssn", "prob_unet", "hrnet",
-                     "diffusion_sampler", "sliding_window")
-        if name in result and isinstance(result[name], dict) and "value" in result[name]
+        for name in _FAMILY_KEYS
+        if isinstance(result.get(name), dict) and "value" in result[name]
     }
     headline["family_quality"] = {
         name: {m: result[name]["quality"][m]
-               for m in ("dice", "ged_bma", "aurc", "ece")
+               for m in ("dice", "ged_bma", "aurc", "ece", "dice_macro",
+                         "ged_multiclass", "ncc_tu_vs_analytic")
                if m in result[name].get("quality", {})}
-        for name in ("ensemble_stack", "ssn", "prob_unet", "hrnet",
-                     "diffusion_sampler")
+        for name in _FAMILY_KEYS
         if isinstance(result.get(name), dict) and "quality" in result[name]
     }
     if "quality_fast" in result:

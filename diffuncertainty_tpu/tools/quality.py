@@ -48,9 +48,13 @@ def toy128_quality_eval(
     from ..ops.entropy import uncertainty_heatmaps
 
     # dir keyed by size: a 32px smoke and the 128px bench must never share a
-    # tree (generate_toy_dataset is also manifest-guarded against overwrite)
+    # tree (generate_toy_dataset is also manifest-guarded against overwrite).
+    # num_test=256 (was 32): the exact-vs-fast AURC/ECE deltas in PARITY.md §3
+    # are stable at the quoted precision only with the larger split. The rng
+    # draws train/val cases BEFORE test cases, so existing trained assets
+    # (incl. the cached ensemble members) see identical train data.
     toy = generate_toy_dataset(
-        Path(f"/tmp/bench_toy{hw}"), num_train=128, num_val=16, num_test=32,
+        Path(f"/tmp/bench_toy{hw}"), num_train=128, num_val=16, num_test=256,
         num_ood=16, num_raters=4, size=hw, seed=1234,
     )
     splits = toy / "splits" / "default" / "firstCycle" / "splits.pkl"

@@ -72,8 +72,10 @@ def _load_cfg(*, network="unet16", model="softmax", eu="dropout",
     from ..core.config import load_config
     from ..data.toy import generate_toy_dataset
 
+    # num_test=256 keeps this tree identical to tools/quality.py's (shared
+    # manifest); train/val draws precede test draws so assets stay valid
     toy = generate_toy_dataset(
-        Path(data_dir), num_train=128, num_val=16, num_test=32,
+        Path(data_dir), num_train=128, num_val=16, num_test=256,
         num_ood=16, num_raters=4, size=128, seed=1234,
     )
     overrides = [
@@ -154,6 +156,48 @@ def train_single(family, args):
     out = Path(args.out) if args.out else REPO / "assets" / out_name
     save_params_npz(params, out, dtype=dtype)
     _log(f"saved {family} asset -> {out}")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# multi-class street-scene asset (GTA-style label-switch training)
+# ---------------------------------------------------------------------------
+
+def train_multiclass(args):
+    """unet16 softmax+dropout on the synthetic street-scene toy, trained on
+    STOCHASTICALLY SWITCHED single raters like the reference's GTA runs
+    (``augmentations.py`` StochasticLabelSwitches in the train pipeline);
+    consumed by bench.py's ``full_frame_multiclass`` family."""
+    from ..core.config import load_config
+    from ..data.cityscapes import CityscapesDataset
+    from ..data.gta_toy import generate_gta_toy
+    from ..data.loader import BatchLoader
+    from ..train.loop import Trainer
+    from .bench_weights import save_params_npz
+
+    data_dir = Path(getattr(args, "multiclass_data_dir", "/tmp/bench_gtatoy"))
+    toy = generate_gta_toy(data_dir, num_train=48, num_val=8, num_test=8,
+                           train_size=(128, 128), test_size=(256, 512), seed=1234)
+    splits = toy / "splits" / "default" / "firstCycle" / "splits.pkl"
+    cfg = load_config(
+        data="gta_toy", network="unet16", model="softmax", eu_method="dropout",
+        overrides=[
+            f"data.data_input_dir={toy}",
+            f"trainer.max_epochs={args.epochs}",
+            f"trainer.precision={args.precision}",
+            "trainer.val_every_n_epochs=100",
+            "ckpt_save_freq.last_every_n_epochs=100",
+        ] + list(getattr(args, "extra", ())),
+    )
+    trainer = Trainer(cfg, workdir=tempfile.mkdtemp(prefix="bench_asset_mc_"))
+    train_ds = CityscapesDataset(splits, toy, split="train", return_all_raters=False)
+    t0 = time.time()
+    state = trainer.fit(BatchLoader(train_ds, 16, shuffle=True, drop_last=True), None)
+    _log(f"trained multiclass gta-toy in {time.time() - t0:.0f}s")
+    params = _final_params(state)
+    out = Path(args.out) if args.out else REPO / "assets" / "bench_unet16_gtatoy_multiclass.npz"
+    save_params_npz(params, out, dtype="float16")
+    _log(f"saved multiclass asset -> {out}")
     return out
 
 
@@ -304,7 +348,7 @@ def train_ensemble(args):
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--model", default="diffusion",
-                    choices=[*FAMILIES, "swag", "ensemble", "all"])
+                    choices=[*FAMILIES, "swag", "ensemble", "multiclass", "all"])
     ap.add_argument("--epochs", type=int, default=400)
     ap.add_argument("--precision", default="bf16")
     ap.add_argument("--data_dir", default="/tmp/bench_toy128")
@@ -325,6 +369,8 @@ def main(argv=None):
         train_swag(args)
     elif args.model == "ensemble":
         train_ensemble(args)
+    elif args.model == "multiclass":
+        train_multiclass(args)
     else:
         train_single(args.model, args)
 
