@@ -430,3 +430,71 @@ def write_matrix_report(matrix: EvalMatrix, out_path: str | Path) -> dict:
     out_path.parent.mkdir(parents=True, exist_ok=True)
     out_path.write_text(json.dumps(report, indent=2))
     return report
+
+
+def matrix_from_config(config: Mapping[str, Any]) -> tuple[EvalMatrix, list[str]]:
+    """Build an EvalMatrix + task list from a config mapping (the CLI input;
+    the reference's hydra ``eval_config_*.yaml`` equivalent).
+
+    Keys: ``base_path``, ``experiments`` (list with ``iter_params``), ``tasks``,
+    ``paired_splits``, ``calibration_val_split``, ``ignore_value``, and an
+    optional ``dataset: {splits_path, data_input_dir}`` giving GT access for
+    ambiguity/calibration (split name taken from each results split dir).
+    """
+    versions = expand_versions(Path(config["base_path"]), config["experiments"])
+    dataset_factory = None
+    ds_cfg = config.get("dataset")
+    if ds_cfg:
+        from ..data.dataset import MultiRaterDataset
+
+        def dataset_factory(version, split):  # noqa: F811
+            try:
+                return MultiRaterDataset(
+                    ds_cfg["splits_path"], ds_cfg["data_input_dir"], split=split
+                )
+            except Exception:
+                return None
+
+    matrix = EvalMatrix(
+        versions,
+        dataset_factory=dataset_factory,
+        paired_splits=[tuple(p) for p in config.get("paired_splits", [])],
+        calibration_val_split=config.get("calibration_val_split", "val"),
+        ignore_value=config.get("ignore_value"),
+    )
+    tasks = list(config.get("tasks", [t for t in KNOWN_TASKS if t != "cleanup"]))
+    return matrix, tasks
+
+
+def main(argv: Sequence[str] | None = None) -> dict:
+    """CLI: run the evaluation matrix from a YAML config — the reference's
+    ``python evaluation/eval_experiments.py --config-name eval_config_lidc``
+    (``eval_experiments.py:458-465``) without the hydra layer.
+
+        python -m diffuncertainty_tpu.evaln.experiments --config eval.yaml \\
+            [--preflight-only] [--report report.json]
+    """
+    import argparse
+
+    import yaml
+
+    ap = argparse.ArgumentParser(description=main.__doc__)
+    ap.add_argument("--config", required=True)
+    ap.add_argument("--preflight-only", action="store_true",
+                    help="classify + print the missing/finished matrix, run nothing")
+    ap.add_argument("--report", default=None,
+                    help="also write the preflight report JSON here")
+    args = ap.parse_args(argv)
+    config = yaml.safe_load(Path(args.config).read_text())
+    matrix, tasks = matrix_from_config(config)
+    if args.report:
+        write_matrix_report(matrix, args.report)
+    if args.preflight_only:
+        matrix.classify(tasks)
+        print(matrix.status_summary())
+        return {}
+    return matrix.run(tasks)
+
+
+if __name__ == "__main__":
+    main()

@@ -183,3 +183,43 @@ def test_unknown_task_rejected(matrix_tree):
     _, _, versions = matrix_tree
     with pytest.raises(ValueError, match="unknown eval tasks"):
         EvalMatrix(versions).run(["not_a_task"])
+
+
+def test_cli_config_entry(matrix_tree, tmp_path, capsys):
+    """YAML-config CLI: the reference's eval_experiments.py entry point."""
+    import yaml
+
+    base, experiments, versions = matrix_tree
+    config = {
+        "base_path": str(base),
+        "experiments": [{
+            "iter_params": {
+                "pred_model": ["softmax_none", "ssn_none"],
+                "seed": [0, 1],
+            },
+            "exp_name": "{pred_model}",
+            "naming_scheme_version": "s{seed}/e3",
+            "n_pred": 4,
+        }],
+        "tasks": ["threshold", "area", "aggregation", "ood_detection",
+                  "failure_detection"],
+        "paired_splits": [["id", "ood_noise"]],
+    }
+    cfg_path = tmp_path / "eval.yaml"
+    cfg_path.write_text(yaml.safe_dump(config))
+
+    from diffuncertainty_tpu.evaln.experiments import main as matrix_main
+
+    # preflight only: prints the matrix, runs nothing
+    matrix_main(["--config", str(cfg_path), "--preflight-only",
+                 "--report", str(tmp_path / "report.json")])
+    out = capsys.readouterr().out
+    assert "Missing x Finished matrix" in out
+    assert not (versions[0].exp_path / "quantile_analysis.json").exists()
+    assert json.loads((tmp_path / "report.json").read_text())["versions"]
+
+    summary = matrix_main(["--config", str(cfg_path)])
+    assert summary["threshold"] == "done"
+    for v in versions:
+        assert (v.exp_path / "threshold_analysis.json").is_file()
+        assert (v.exp_path / "ood_detection.json").is_file()
