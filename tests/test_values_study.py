@@ -1,0 +1,67 @@
+"""Miniature end-to-end ValUES study (tools/values_study.py).
+
+2 AU x 2 EU x 1 seed, 2 epochs on a small toy — pins that the study driver
+runs train -> inference -> EvalMatrix -> AL arm -> report end to end and
+emits the committed-artifact set with finite direction-of-effect numbers.
+The full reduced study (4 AU x 3 EU x 2 seeds) is run offline and committed
+under ``studies/values_toy/``.
+"""
+
+import dataclasses
+import json
+from pathlib import Path
+
+import numpy as np
+
+from diffuncertainty_tpu.tools.values_study import StudyConfig, run_values_study
+
+
+def test_miniature_study(tmp_path):
+    scfg = StudyConfig(
+        workdir=tmp_path / "study",
+        au_types=("softmax", "ssn"),
+        eu_methods=("none", "dropout"),
+        seeds=(0,),
+        epochs=2,
+        n_pred=2,
+        n_models=2,
+        num_train=12,
+        num_val=4,
+        num_test=6,
+        num_ood=6,
+        num_unlabeled=6,
+        ood_shifts=("ood_noise",),
+        al_arm=("softmax", "dropout"),
+    )
+    summary = run_values_study(scfg)
+
+    assert summary["matrix"]["versions"] == 4
+    # every version preflights as non-missing after the run
+    assert all(not s["missing"] for s in summary["preflight"].values())
+
+    report = tmp_path / "study" / "report"
+    assert (report / "ds_task_table.csv").is_file()
+    assert (report / "ds_task_table.tex").is_file()
+    assert (report / "summary.json").is_file()
+    assert (report / "REPORT.md").is_file()
+
+    checks = summary["checks"]
+    shift = checks["ood_auroc"]["per_shift"]["ood_noise"]
+    assert np.isfinite(shift["softmax_entropy_baseline"])
+    assert "dropout" in shift["eu_methods"]
+    amb = checks["ambiguity_ncc"]
+    assert set(amb["mean_au_ncc_by_au_type"]) == {"softmax", "ssn"}
+    al = checks["al_improvement"]
+    assert al["computed_both_directions"]
+
+    # the table carries seed-grouped method columns
+    import pandas as pd
+
+    table = pd.read_csv(report / "ds_task_table.csv", header=[0, 1], index_col=[0, 1, 2, 3])
+    method_cols = {c[1] for c in table.columns}
+    assert {"softmax_none", "softmax_dropout", "ssn_none", "ssn_dropout"} <= method_cols
+
+    # re-run resumes (cells cached) and reproduces the artifact set quickly
+    summary2 = run_values_study(dataclasses.replace(scfg))
+    assert summary2["matrix"]["versions"] == 4
+    assert summary2["wall_seconds"] < summary["wall_seconds"]
