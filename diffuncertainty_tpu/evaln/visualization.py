@@ -198,6 +198,19 @@ def metric_matrix(
     return pivot
 
 
+def entangle_metric(u_first, u_second, lower_is_better: bool = False):
+    """Paper's entanglement score Δ = s·(arctan2(a, b) − π/4)/(π/4) ∈ [-1, 1].
+
+    Maps a pair of scores (e.g. AU-AUROC vs EU-AUROC, or uncertainty on
+    correct vs wrong pixels) to a signed balance: 0 means perfectly
+    entangled (a == b), +1 means the first member dominates entirely.
+    Matches ``visualization/helpers.py:693-696`` (sign flip via
+    ``lower_is_better``); accepts scalars or arrays.
+    """
+    s = -1.0 if lower_is_better else 1.0
+    return s * (np.arctan2(u_first, u_second) - np.pi / 4) / (np.pi / 4)
+
+
 def au_eu_scatter(
     df: pd.DataFrame,
     *,
@@ -221,8 +234,9 @@ def au_eu_scatter(
     fig, ax = plt.subplots(figsize=(5, 5))
     ax.scatter(pivot["AU"], pivot["EU"])
     for version, row in pivot.iterrows():
-        ax.annotate(str(version), (row["AU"], row["EU"]), fontsize=7,
-                    xytext=(3, 3), textcoords="offset points")
+        delta = float(entangle_metric(row["AU"], row["EU"]))
+        ax.annotate(f"{version} (Δ={delta:+.2f})", (row["AU"], row["EU"]),
+                    fontsize=7, xytext=(3, 3), textcoords="offset points")
     lims = [min(pivot["AU"].min(), pivot["EU"].min()) - 0.02,
             max(pivot["AU"].max(), pivot["EU"].max()) + 0.02]
     ax.plot(lims, lims, "k--", alpha=0.4)

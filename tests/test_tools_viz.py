@@ -235,6 +235,21 @@ def test_metric_matrix_and_scatter(tmp_path):
     assert out.exists()
 
 
+def test_entangle_metric():
+    import numpy as np
+
+    from diffuncertainty_tpu.evaln.visualization import entangle_metric
+
+    # perfectly entangled pair -> 0; axis-dominant pairs -> ±1
+    assert entangle_metric(0.7, 0.7) == pytest.approx(0.0)
+    assert entangle_metric(1.0, 0.0) == pytest.approx(1.0)
+    assert entangle_metric(0.0, 1.0) == pytest.approx(-1.0)
+    # lower_is_better flips the sign; arrays broadcast
+    assert entangle_metric(1.0, 0.0, lower_is_better=True) == pytest.approx(-1.0)
+    arr = entangle_metric(np.array([0.5, 0.0]), np.array([0.5, 1.0]))
+    assert arr == pytest.approx([0.0, -1.0])
+
+
 # ---- logger backends + training-curve figures ------------------------------
 
 def test_metric_logger_tensorboard_roundtrip(tmp_path):
