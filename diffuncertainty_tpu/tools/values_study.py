@@ -47,6 +47,7 @@ class StudyConfig:
     n_pred: int = 4
     n_models: int = 4
     image_size: int = 32
+    ambiguity: float = 0.15  # toy rater-threshold jitter (data/toy.py)
     num_train: int = 24
     num_val: int = 8
     num_test: int = 16
@@ -220,7 +221,8 @@ def run_values_study(scfg: StudyConfig) -> dict:
     toy = generate_toy_dataset(
         work / "toy", num_train=scfg.num_train, num_val=scfg.num_val,
         num_test=scfg.num_test, num_ood=scfg.num_ood, size=scfg.image_size,
-        seed=0, ood_shifts=scfg.ood_shifts, num_unlabeled=scfg.num_unlabeled,
+        ambiguity=scfg.ambiguity, seed=0, ood_shifts=scfg.ood_shifts,
+        num_unlabeled=scfg.num_unlabeled,
     )
     splits = toy / "splits" / "default" / "firstCycle" / "splits.pkl"
 
@@ -323,6 +325,10 @@ def run_values_study(scfg: StudyConfig) -> dict:
             "epochs": scfg.epochs,
             "n_pred": scfg.n_pred,
             "n_models": scfg.n_models,
+            "image_size": scfg.image_size,
+            "ambiguity": scfg.ambiguity,
+            "num_train": scfg.num_train,
+            "num_test": scfg.num_test,
             "versions": len(versions),
         },
         "preflight": matrix.classify([
@@ -466,6 +472,10 @@ def main(argv: Sequence[str] | None = None) -> None:
     ap.add_argument("workdir")
     ap.add_argument("--epochs", type=int, default=6)
     ap.add_argument("--seeds", type=int, nargs="+", default=[0, 1])
+    ap.add_argument("--image_size", type=int, default=32)
+    ap.add_argument("--ambiguity", type=float, default=0.15)
+    ap.add_argument("--num_train", type=int, default=24)
+    ap.add_argument("--num_test", type=int, default=16)
     ap.add_argument("--quick", action="store_true",
                     help="2 AU x 2 EU miniature (smoke)")
     ap.add_argument("--cpu", action="store_true",
@@ -479,7 +489,9 @@ def main(argv: Sequence[str] | None = None) -> None:
 
         jax.config.update("jax_platforms", "cpu")
     scfg = StudyConfig(workdir=Path(args.workdir), epochs=args.epochs,
-                       seeds=tuple(args.seeds))
+                       seeds=tuple(args.seeds), image_size=args.image_size,
+                       ambiguity=args.ambiguity, num_train=args.num_train,
+                       num_test=args.num_test, num_ood=args.num_test)
     if args.quick:
         scfg = dataclasses.replace(
             scfg, au_types=("softmax", "ssn"), eu_methods=("none", "dropout"),
