@@ -17,6 +17,7 @@ HFlip.p, Rotate.limit, RandomScale.scale_limit, GaussNoise.var_limit) —
 from __future__ import annotations
 
 import dataclasses
+import re
 
 import jax
 import jax.numpy as jnp
@@ -38,12 +39,23 @@ from ..ops.warp import (
 # parameters and cannot represent an arbitrary Affine (shear/translate), so
 # Affine is REJECTED rather than silently narrowed.
 SUPPORTED_GEOMETRIC_TRANSFORMS = frozenset({"HorizontalFlip", "Rotate", "RandomScale"})
-UNSUPPORTED_GEOMETRIC_TRANSFORMS = frozenset({
-    "Affine", "VerticalFlip", "RandomRotate90", "Transpose", "ShiftScaleRotate",
-    "SafeRotate", "Perspective", "ElasticTransform", "GridDistortion",
-    "OpticalDistortion", "PiecewiseAffine", "GridElasticDeform",
-    "ThinPlateSpline", "Morphological", "D4",
+# Intensity / crop / container entries the pipeline handles (or safely
+# ignores for TTA-inversion purposes): these carry no sampled geometry that
+# a prediction warp would need to invert.
+KNOWN_NONGEOMETRIC_TRANSFORMS = frozenset({
+    "Normalize", "GaussNoise", "PadIfNeeded", "CenterCrop", "RandomCrop",
+    "RandomBrightnessContrast", "ColorJitter", "RandomGamma", "GaussianBlur",
+    "Blur", "MedianBlur", "MotionBlur", "Sharpen", "CLAHE", "Equalize",
+    "Posterize", "Solarize", "ToFloat", "FromFloat", "ToTensorV2", "ToTensor",
+    "OneOf", "Compose", "SomeOf", "Sequential", "Lambda", "NoOp",
 })
+
+
+def _looks_like_transform_name(key: str) -> bool:
+    # albumentations class names are CamelCase (or end in a digit, e.g. D4);
+    # config section keys are ALL-CAPS (TRAIN/VAL/TEST) and parameter keys
+    # are snake_case — neither matches
+    return bool(re.match(r"^[A-Z][a-z0-9][A-Za-z0-9]*$", key))
 
 
 def check_geometric_transform_support(transforms, context: str = "augmentation config") -> None:
@@ -52,17 +64,24 @@ def check_geometric_transform_support(transforms, context: str = "augmentation c
     ``transforms`` is an albumentations-style nested structure (lists of
     ``{Name: {params...}}`` dicts, e.g. the reference's
     ``data.augmentations.TRAIN`` — ``configs/data/lidc64.yaml:33-60``).
-    Geometric entries outside {HorizontalFlip, Rotate, RandomScale} raise:
-    the batched affine pipeline has no parameters for them, and dropping them
-    silently would change what TTA samples vs what training saw.
-    Non-geometric entries (Normalize, GaussNoise, crops, ...) pass through.
+    WHITELIST semantics: a transform name passes only if it is one of the
+    supported geometric transforms {HorizontalFlip, Rotate, RandomScale}
+    (whose parameters the batched affine pipeline and the TTA inversion
+    sample themselves) or a known non-geometric entry (Normalize, GaussNoise,
+    crops, ...). Anything else — Affine, VerticalFlip, ElasticTransform, or
+    a transform this table has never seen — raises: dropping it silently
+    would change what TTA samples vs what training saw.
     """
     found: list[str] = []
 
     def walk(node) -> None:
         if isinstance(node, dict):
             for name, body in node.items():
-                if name in UNSUPPORTED_GEOMETRIC_TRANSFORMS:
+                if (
+                    _looks_like_transform_name(name)
+                    and name not in SUPPORTED_GEOMETRIC_TRANSFORMS
+                    and name not in KNOWN_NONGEOMETRIC_TRANSFORMS
+                ):
                     found.append(name)
                 walk(body)
         elif isinstance(node, (list, tuple)):
@@ -72,9 +91,11 @@ def check_geometric_transform_support(transforms, context: str = "augmentation c
     walk(transforms)
     if found:
         raise ValueError(
-            f"{context} contains geometric transforms this pipeline cannot "
-            f"represent or invert: {sorted(set(found))}; supported geometric "
-            f"transforms: {sorted(SUPPORTED_GEOMETRIC_TRANSFORMS)}"
+            f"{context} contains transforms this pipeline cannot represent "
+            f"or invert (or does not recognize): {sorted(set(found))}; "
+            f"supported geometric transforms: "
+            f"{sorted(SUPPORTED_GEOMETRIC_TRANSFORMS)}; known non-geometric "
+            f"pass-through entries: {sorted(KNOWN_NONGEOMETRIC_TRANSFORMS)}"
         )
 
 

@@ -462,7 +462,11 @@ def matrix_from_config(config: Mapping[str, Any]) -> tuple[EvalMatrix, list[str]
         calibration_val_split=config.get("calibration_val_split", "val"),
         ignore_value=config.get("ignore_value"),
     )
-    tasks = list(config.get("tasks", [t for t in KNOWN_TASKS if t != "cleanup"]))
+    # default task list excludes BOTH cleanup variants: deleting heatmap /
+    # prediction folders must be an explicit opt-in, never a missing-key default
+    tasks = list(config.get(
+        "tasks", [t for t in KNOWN_TASKS if t not in ("cleanup", "cleanup_finished")]
+    ))
     return matrix, tasks
 
 

@@ -74,7 +74,15 @@ class ResultsWriter:
             return
         if len(self._pending) >= self._max_pending:
             self._pending[0].result()  # block on the oldest; re-raise failures
-            self._pending = [f for f in self._pending if not f.done()]
+            # join (don't discard) every completed future: a done-but-failed
+            # write deeper in the queue must re-raise here, not vanish
+            still_running = []
+            for f in self._pending[1:]:
+                if f.done():
+                    f.result()
+                else:
+                    still_running.append(f)
+            self._pending = still_running
         self._pending.append(self._pool.submit(fn, *args))
 
     # ---- predictions -----------------------------------------------------
@@ -139,11 +147,15 @@ class ResultsWriter:
 
     def flush(self) -> None:
         if self._pool is not None:
-            for fut in self._pending:
-                fut.result()  # join; re-raise the first write failure
-            self._pending.clear()
-            self._pool.shutdown(wait=True)
-            self._pool = None  # post-flush writes (unusual) fall back inline
+            try:
+                for fut in self._pending:
+                    fut.result()  # join; re-raise the first write failure
+            finally:
+                # on failure, stop the remaining queued writes instead of
+                # leaving worker threads writing behind the caller's back
+                self._pending.clear()
+                self._pool.shutdown(wait=True, cancel_futures=True)
+                self._pool = None  # post-flush writes (unusual) fall back inline
         with open(self.split_dir / "metrics.json", "w") as f:
             json.dump(self.metrics, f, indent=2)
         if self.likelihood:

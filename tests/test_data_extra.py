@@ -174,3 +174,36 @@ def test_volume_to_slices(tmp_path):
     assert fg == ["images/case0_z003.npy", "images/case0_z004.npy"]
     img = np.load(tmp_path / "f" / "preprocessed" / fg[0])
     assert img.shape == (24, 24)  # padded to multiple of 8
+
+
+def test_geometric_transform_whitelist():
+    """TTA whitelist guard: supported geometric + known non-geometric pass;
+    Affine, VerticalFlip, and transforms the table has never seen raise."""
+    import pytest
+
+    from diffuncertainty_tpu.data.augment import check_geometric_transform_support
+
+    # a reference-style TRAIN tree with only supported/known entries passes
+    ok = {"TRAIN": [
+        {"HorizontalFlip": {"p": 0.5}},
+        {"Rotate": {"limit": 22.5, "border_mode": 0}},
+        {"RandomScale": {"scale_limit": [-0.2, 0.2]}},
+        {"PadIfNeeded": {"min_height": 64, "min_width": 64}},
+        {"CenterCrop": {"height": 64, "width": 64}},
+        {"GaussNoise": {"var_limit": 0.01}},
+        {"Normalize": {"mean": 0.0, "std": 1.0}},
+    ]}
+    check_geometric_transform_support(ok)  # no raise
+
+    for bad in ("Affine", "VerticalFlip", "ElasticTransform", "D4"):
+        with pytest.raises(ValueError, match=bad):
+            check_geometric_transform_support(
+                {"TRAIN": [{"HorizontalFlip": {"p": 0.5}}, {bad: {"p": 1.0}}]})
+
+    # unknown CamelCase transforms fail closed instead of silently narrowing
+    with pytest.raises(ValueError, match="SomeFutureWarp"):
+        check_geometric_transform_support({"TRAIN": [{"SomeFutureWarp": {}}]})
+
+    # section keys (TRAIN/VAL) and snake_case parameter keys never trip it
+    check_geometric_transform_support(
+        {"VAL": [], "TEST": [{"Rotate": {"interpolation": 1, "mask_value": 0}}]})

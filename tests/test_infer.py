@@ -335,3 +335,35 @@ def test_results_writer_async_matches_inline(tmp_path):
     assert set(outs["inline"]) == set(outs["pooled"])
     for rel, blob in outs["inline"].items():
         assert outs["pooled"][rel] == blob, f"{rel} differs"
+
+
+def test_results_writer_propagates_queued_write_failure(tmp_path, monkeypatch):
+    """A failed write anywhere in the pending queue must surface: the
+    backpressure drain may not silently discard done-but-failed futures, and
+    flush() must raise (and stop the pool) even when the failure is not the
+    oldest future."""
+    import numpy as np
+    import pytest
+    from diffuncertainty_tpu.infer import results as results_mod
+    from diffuncertainty_tpu.infer.results import ResultsWriter
+
+    w = ResultsWriter(tmp_path / "out", binary=True, async_writes=True)
+    w._max_pending = 3  # tiny queue so the drain path actually runs
+
+    calls = {"n": 0}
+    real_write = ResultsWriter._write_tif
+
+    def flaky_write(unc_dir, image_id, arr):
+        calls["n"] += 1
+        if calls["n"] == 2:  # fail at queue position >0
+            raise OSError("disk full")
+        real_write(unc_dir, image_id, arr)
+
+    monkeypatch.setattr(results_mod.ResultsWriter, "_write_tif",
+                        staticmethod(flaky_write))
+    heat = {"TU": np.zeros((4, 4), np.float32)}
+    with pytest.raises(OSError, match="disk full"):
+        with w:  # production usage: __exit__ aborts/flushes
+            for j in range(32):  # push far past max_pending, then join
+                w.save_uncertainty(f"img{j:02d}", heat)
+    assert w._pool is None  # error path shut the pool down

@@ -65,3 +65,37 @@ def test_miniature_study(tmp_path):
     summary2 = run_values_study(dataclasses.replace(scfg))
     assert summary2["matrix"]["versions"] == 4
     assert summary2["wall_seconds"] < summary["wall_seconds"]
+
+
+def test_workdir_parameter_mismatch_raises(tmp_path):
+    """A workdir holding cells built with different shaping parameters must
+    be rejected up front, before any (re)training runs."""
+    import pytest
+
+    work = tmp_path / "study"
+    work.mkdir()
+    (work / "study_meta.json").write_text(json.dumps({"epochs": 3}))
+    with pytest.raises(ValueError, match="different study parameters"):
+        run_values_study(StudyConfig(workdir=work, epochs=6))
+
+
+def test_interpretation_lines_follow_the_numbers():
+    from diffuncertainty_tpu.tools.values_study import _interpretation_lines
+
+    checks = {
+        "ood_auroc": {"per_shift": {
+            "ood_noise": {"eu_beats_entropy_baseline": False},
+            "ood_blur": {"eu_beats_entropy_baseline": True},
+        }},
+        "ambiguity_ncc": {"mean_au_ncc_by_au_type": {"softmax": 0.02, "ssn": -0.01}},
+    }
+    al = {"al_improvement_uncertainty": -0.0007, "al_improvement_worst": -0.0008}
+    text = "\n".join(_interpretation_lines(checks, al))
+    assert "ood_blur" in text and "positive" in text and "flat within noise" in text
+
+    # failing checks flip the phrasing instead of keeping a canned narrative
+    checks["ood_auroc"]["per_shift"]["ood_blur"]["eu_beats_entropy_baseline"] = False
+    checks["ambiguity_ncc"]["mean_au_ncc_by_au_type"] = {"softmax": -0.2}
+    al = {"al_improvement_uncertainty": 0.3, "al_improvement_worst": -0.2}
+    text = "\n".join(_interpretation_lines(checks, al))
+    assert "NO shift" in text and "NEGATIVE" in text and "non-flat" in text
