@@ -914,6 +914,80 @@ def grouped_rows_panel(
     return Path(out_path)
 
 
+def uncertainty_triptych_panel(
+    raws: "dict[str, dict]",
+    out_path: str | Path,
+    *,
+    n_images: int = 2,
+    gt_color=(1.0, 0.1, 0.1, 0.9),
+    cmap: str = "viridis",
+):
+    """Uncertainty-type qualitative grid: per image, three rows (AU/EU/TU)
+    with one heatmap column per method.
+
+    The reference's ``qualitative_plot_uncertainty`` layout
+    (``visualization/helpers.py:2966-3410``): each image occupies a 3-row
+    block; the leading column shows the input with rater outlines on the AU
+    row and individual rater ground-truth masks on the EU/TU rows. Heatmaps
+    are computed from each record's group stack with the fused C2 ops.
+    ``raws``: {method label: ``collect_raw_predictions`` result}.
+    """
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import jax.numpy as jnp
+
+    from ..ops.entropy import uncertainty_heatmaps
+
+    unc_types = ("AU", "EU", "TU")
+    labels = list(raws)
+    by_id = [
+        {r["image_id"]: r for r in raws[label]["records"]} for label in labels
+    ]
+    common = [i for i in by_id[0] if all(i in d for d in by_id[1:])][:n_images]
+    if not common:
+        raise ValueError("no shared image_ids across the provided methods")
+
+    n_rows = 3 * len(common)
+    n_cols = 1 + len(labels)
+    fig, axes = plt.subplots(
+        n_rows, n_cols, figsize=(1.9 * n_cols, 1.9 * n_rows), squeeze=False,
+    )
+    for b, image_id in enumerate(common):
+        base = by_id[0][image_id]
+        rgb = _to_rgb(np.asarray(base["image"], np.float64))
+        rgb = (rgb - rgb.min()) / (rgb.max() - rgb.min() + 1e-8)
+        raters = np.asarray(base["gt"]).reshape((-1,) + rgb.shape[:2])
+        outlined = rgb.copy()
+        for rater in raters:
+            _overlay_outline(outlined, rater, gt_color)
+        # leading column: input+raters on the AU row, rater GTs below
+        axes[3 * b][0].imshow(outlined)
+        axes[3 * b][0].set_ylabel(f"{image_id}\nAU", fontsize=7)
+        for k in (1, 2):
+            ax = axes[3 * b + k][0]
+            if k - 1 < raters.shape[0]:
+                ax.imshow(raters[k - 1], cmap="gray", interpolation="nearest")
+            ax.set_ylabel(unc_types[k], fontsize=7)
+        for m, label in enumerate(labels):
+            rec = by_id[m][image_id]
+            group_means = jnp.asarray(np.asarray(rec["groups"]).mean(axis=1))
+            maps = uncertainty_heatmaps(group_means, sample_axis=0, class_axis=-1)
+            for k, unc in enumerate(unc_types):
+                ax = axes[3 * b + k][1 + m]
+                ax.imshow(np.asarray(maps[unc]), cmap=cmap)
+                if b == 0 and k == 0:
+                    ax.set_title(label, fontsize=9)
+    for ax_row in axes:
+        for ax in ax_row:
+            ax.set_xticks([]), ax.set_yticks([])
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=120)
+    plt.close(fig)
+    return Path(out_path)
+
+
 def model_comparison_panel(
     raws: "dict[str, dict]",
     out_path: str | Path,

@@ -459,3 +459,10 @@ def test_model_comparison_panel(tmp_path):
         raws[label] = inf.collect_raw_predictions("id", num_images=2)
     out = model_comparison_panel(raws, tmp_path / "cmp.png", n_images=2)
     assert out.exists() and out.stat().st_size > 2000
+
+    # AU/EU/TU triptych over the same raw records (reference
+    # qualitative_plot_uncertainty layout, helpers.py:2966-3410)
+    from diffuncertainty_tpu.evaln.visualization import uncertainty_triptych_panel
+
+    out3 = uncertainty_triptych_panel(raws, tmp_path / "tri.png", n_images=2)
+    assert out3.exists() and out3.stat().st_size > 2000
