@@ -337,6 +337,9 @@ def run_values_study(scfg: StudyConfig) -> dict:
     except ValueError:
         pass  # matrix too small to carry both AU and EU rows
 
+    figures = _report_figures(
+        report_dir, scfg, df, versions, infer_handles, al_results, splits, toy,
+    )
     checks = _direction_checks(df, scfg, al_results)
     summary = {
         "matrix": {
@@ -363,11 +366,145 @@ def run_values_study(scfg: StudyConfig) -> dict:
             "table_csv": str(report_dir / "ds_task_table.csv"),
             "table_tex": str(report_dir / "ds_task_table.tex"),
             "scatter": str(scatter_path) if scatter_path else None,
+            "figures": figures,
         },
     }
     (report_dir / "summary.json").write_text(json.dumps(summary, indent=2))
-    _write_report_md(report_dir, scfg, df, checks, al_results)
+    _write_report_md(report_dir, scfg, df, checks, al_results, figures)
     return summary
+
+
+def _report_figures(
+    report_dir: Path,
+    scfg: StudyConfig,
+    df,
+    versions,
+    infer_handles: dict,
+    al_results,
+    splits: Path,
+    toy: Path,
+) -> dict:
+    """Emit the diagnostic figure set for the study report: risk–coverage
+    curves, a reliability diagram, per-shift OoD AUROC barplots, the AL
+    second-cycle panel, and a qualitative AU/EU/TU triptych across AU types
+    (the figure family behind the reference's ``visualization/helpers.py``
+    and ``global_utils/debug_*`` diagnostics). Figures are best-effort: a
+    failure is reported but never fails the study."""
+    from ..data import MultiRaterDataset
+    from ..evaln.dataloader import ResultsReader
+    from ..evaln.visualization import (
+        al_improvement_plot,
+        barplot,
+        reliability_diagram,
+        risk_coverage_plot,
+        uncertainty_triptych_panel,
+    )
+
+    figures: dict = {}
+    seed0 = scfg.seeds[0]
+
+    def _try(name, fn):
+        try:
+            figures[name] = str(fn())
+        except Exception as e:  # pragma: no cover - diagnostic only
+            print(f"[study] report figure {name} skipped: {type(e).__name__}: {e}")
+
+    # risk–coverage on the id split: TU heatmap, image_level aggregation,
+    # seed-0 version of every method (risk = 1 - Dice, fd-shifts convention)
+    def _risk_coverage():
+        series = {}
+        for v in versions:
+            if v.params["seed"] != seed0:
+                continue
+            reader = ResultsReader(v.exp_path / "id")
+            unc = "TU" if "TU" in reader.unc_types else reader.unc_types[0]
+            metrics, agg = reader.metrics(), reader.aggregated(unc)
+            risks, confids = [], []
+            for image_id in reader.image_ids:
+                risks.append(1.0 - metrics[image_id]["metrics"]["dice"])
+                key = next(k for k in agg if k.startswith(image_id))
+                confids.append(-agg[key]["image_level"]["max_score"])
+            series[v.pred_model] = (risks, confids)
+        if not series:
+            raise ValueError("no seed-0 versions with id results")
+        return risk_coverage_plot(
+            series, report_dir / "risk_coverage_id.png",
+            title="failure detection (id split, TU image_level)",
+        )
+
+    _try("risk_coverage", _risk_coverage)
+
+    # reliability diagram: Platt-scaled pixel confidences of the AL-arm
+    # method on the id split (mirrors evaln.tasks.calibration)
+    def _reliability():
+        label = _method_name(*scfg.al_arm) if scfg.al_arm else versions[0].pred_model
+        v = next(
+            v for v in versions
+            if v.pred_model == label and v.params["seed"] == seed0
+        )
+        ds = MultiRaterDataset(splits, toy, split="id")
+        reader = ResultsReader(v.exp_path / "id", dataset=ds)
+        params = json.loads((v.exp_path / "platt_scale_params.json").read_text())
+        unc = "TU" if "TU" in reader.unc_types else reader.unc_types[0]
+        a, b = params[unc]["a"], params[unc]["b"]
+        correct_all, confid_all = [], []
+        for image_id in reader.image_ids:
+            refs = reader.get_reference_segs(image_id)
+            pred = reader.get_mean_pred_seg(image_id)
+            unc_map = reader.get_unc_map(image_id, unc)
+            if pred.shape != unc_map.shape:
+                unc_map = np.swapaxes(unc_map, 0, 1)
+            mask = refs != -1  # matrix runs with ignore_value=-1
+            correct = (refs == pred[None])[mask].astype(np.float64)
+            u = np.broadcast_to(unc_map[None], refs.shape)[mask]
+            correct_all.append(correct.ravel())
+            confid_all.append(1.0 / (1.0 + np.exp((-u.ravel()) * a + b)))
+        return reliability_diagram(
+            np.concatenate(correct_all), np.concatenate(confid_all),
+            report_dir / "reliability_id.png",
+            title=f"{label} (id split, Platt-scaled {unc})",
+        )
+
+    _try("reliability", _reliability)
+
+    # per-shift OoD AUROC barplots (unc_type x method, image_level)
+    for shift in scfg.ood_shifts:
+        def _ood_bar(shift=shift):
+            sel = df[(df["dataset"] == f"id&{shift}")
+                     & (df["aggregation"] == "image_level")]
+            return barplot(
+                sel, task="ood_detection", metric="auroc",
+                out_path=report_dir / f"ood_auroc_{shift}.png",
+            )
+
+        _try(f"ood_auroc_{shift}", _ood_bar)
+
+    # AL second-cycle panel
+    if al_results is not None and scfg.al_arm is not None:
+        def _al_plot():
+            label = _method_name(*scfg.al_arm)
+            cycles = {label: {"first": al_results["dice_first_cycle"],
+                              **al_results["dice_second_cycle"]}}
+            return al_improvement_plot(cycles, report_dir / "al_improvement.png")
+
+        _try("al_improvement", _al_plot)
+
+    # qualitative AU/EU/TU triptych: the no-EU version of each AU type on
+    # shared id images (raw prediction stacks re-sampled from checkpoints)
+    def _triptych():
+        raws = {}
+        for au in scfg.au_types:
+            handle = infer_handles.get(f"{_method_name(au, scfg.eu_methods[0])}_s{seed0}")
+            if handle is not None:
+                raws[au] = handle.collect_raw_predictions("id", num_images=2, seed=0)
+        if len(raws) < 2:
+            raise ValueError("need >=2 AU types with inference handles")
+        return uncertainty_triptych_panel(
+            raws, report_dir / "uncertainty_triptych.png", n_images=2,
+        )
+
+    _try("triptych", _triptych)
+    return figures
 
 
 def _direction_checks(df, scfg: StudyConfig, al_results) -> dict:
@@ -495,13 +632,27 @@ def _interpretation_lines(checks: dict, al_results) -> list[str]:
     return lines
 
 
-def _write_report_md(report_dir: Path, scfg: StudyConfig, df, checks, al_results) -> None:
+_FIGURE_CAPTIONS = {
+    "risk_coverage": "risk–coverage curves per method (failure detection)",
+    "reliability": "reliability diagram, Platt-scaled pixel confidences",
+    "al_improvement": "active-learning second-cycle panel",
+    "triptych": "qualitative AU/EU/TU heatmaps across AU types",
+}
+
+
+def _write_report_md(
+    report_dir: Path, scfg: StudyConfig, df, checks, al_results,
+    figures: dict | None = None,
+) -> None:
+    figures = figures or {}
     lines = [
         "# ValUES study on the controlled toy environment",
         "",
         f"Matrix: AU {list(scfg.au_types)} x EU {list(scfg.eu_methods)} x "
         f"seeds {list(scfg.seeds)} ({scfg.epochs} epochs, n_pred={scfg.n_pred}, "
-        f"n_models={scfg.n_models}, {scfg.image_size}px toy).",
+        f"n_models={scfg.n_models}, {scfg.image_size}px toy, "
+        f"ambiguity={scfg.ambiguity}, {scfg.num_train} train / "
+        f"{scfg.num_test} test images).",
         "",
         "Artifacts: `ds_task_table.csv` / `.tex` (seed-grouped downstream-task "
         "table), `au_eu_scatter.png` (AU-vs-EU OoD AUROC), `summary.json`.",
@@ -515,6 +666,16 @@ def _write_report_md(report_dir: Path, scfg: StudyConfig, df, checks, al_results
         "## Interpretation",
         "",
     ] + _interpretation_lines(checks, al_results)
+    if figures:
+        lines += ["", "## Figures", ""]
+        for name, path in sorted(figures.items()):
+            caption = _FIGURE_CAPTIONS.get(
+                name,
+                "per-shift OoD AUROC barplot" if name.startswith("ood_auroc")
+                else name,
+            )
+            lines.append(f"![{caption}]({Path(path).name})")
+            lines.append("")
     if al_results is not None:
         lines += ["", "## Active-learning arm", "", "```json",
                   json.dumps(al_results, indent=2), "```"]

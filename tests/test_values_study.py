@@ -54,6 +54,12 @@ def test_miniature_study(tmp_path):
     al = checks["al_improvement"]
     assert al["computed_both_directions"]
 
+    # the diagnostic figure set is emitted next to the table
+    figures = summary["artifacts"]["figures"]
+    for name in ("risk_coverage", "reliability", "ood_auroc_ood_noise",
+                 "al_improvement", "triptych"):
+        assert name in figures and Path(figures[name]).is_file(), name
+
     # the table carries seed-grouped method columns
     import pandas as pd
 
