@@ -9,7 +9,9 @@ training/testing grids; here one entry point drives the whole study:
 
 1. generate the controlled toy dataset (known aleatoric ambiguity via rater
    threshold jitter, known OoD shifts, an unlabeled AL pool);
-2. train the AU x EU x seed training matrix briefly;
+2. train the AU x EU x seed training matrix briefly (``eu=ensemble`` cells
+   train ``n_models`` independently-seeded members each, grouped at test
+   time like the reference's ``--checkpoint_paths`` ensembles);
 3. run fused uncertainty inference per version on id / ood / val splits;
 4. evaluate the full task set through ``EvalMatrix`` (threshold, area,
    aggregation, paired OoD detection, failure detection, ambiguity, calibration);
@@ -74,7 +76,8 @@ def _method_name(au: str, eu: str) -> str:
     return f"{au}_{eu}"
 
 
-def _load_run_config(scfg: StudyConfig, toy: Path, au: str, eu: str, seed: int):
+def _load_run_config(scfg: StudyConfig, toy: Path, au: str, eu: str, seed: int,
+                     version: str | None = None, train_seed: int | None = None):
     from ..core.config import load_config
 
     overrides = [o.format(ch=scfg.model_channels) for o in SMALL_NET] + [
@@ -84,39 +87,61 @@ def _load_run_config(scfg: StudyConfig, toy: Path, au: str, eu: str, seed: int):
         f"data.data_input_dir={toy}",
         "data.split_name=default",
         f"exp_name={_method_name(au, eu)}",
-        f"version=s{seed}",
-        f"seed={seed}",
+        f"version={version or f's{seed}'}",
+        f"seed={train_seed if train_seed is not None else seed}",
     ]
     return load_config(
         data="toy64", network="unet4", model=au, eu_method=eu, overrides=overrides
     )
 
 
-def _train_one(scfg: StudyConfig, toy: Path, splits: Path, au: str, eu: str, seed: int) -> Path:
+def _train_cell(scfg: StudyConfig, toy: Path, splits: Path, au: str, eu: str,
+                seed: int, version: str, train_seed: int) -> Path:
     from ..data import BatchLoader, MultiRaterDataset
     from ..train import Trainer
 
     # resumable matrix: a finished cell is skipped on re-runs (the study-level
     # analog of the framework's skip_existing idempotency)
     done = (
-        scfg.workdir / "saves" / _method_name(au, eu) / f"s{seed}"
+        scfg.workdir / "saves" / _method_name(au, eu) / version
         / "checkpoints" / "last"
     )
     if done.exists():
         return done
-    cfg = _load_run_config(scfg, toy, au, eu, seed)
+    cfg = _load_run_config(scfg, toy, au, eu, seed, version=version,
+                           train_seed=train_seed)
     trainer = Trainer(cfg)
     train_ds = MultiRaterDataset(splits, toy, split="train", return_all_raters=False)
     val_ds = MultiRaterDataset(splits, toy, split="val")
     trainer.fit(
-        BatchLoader(train_ds, scfg.batch_size, shuffle=True, drop_last=True, seed=seed),
+        BatchLoader(train_ds, scfg.batch_size, shuffle=True, drop_last=True,
+                    seed=train_seed),
         BatchLoader(val_ds, scfg.batch_size),
     )
     return trainer.workdir / "checkpoints" / "last"
 
 
+def _train_one(
+    scfg: StudyConfig, toy: Path, splits: Path, au: str, eu: str, seed: int
+) -> Path | list[Path]:
+    if eu == "ensemble":
+        # deep ensemble: n_models independently-seeded members per study seed
+        # (reference: one launch per member seed, grouped at test time via
+        # --checkpoint_paths, test_utils.py:296-376). Member seeds are strided
+        # so no two members share an init across study seeds.
+        return [
+            _train_cell(scfg, toy, splits, au, eu, seed,
+                        version=f"s{seed}_m{m}",
+                        train_seed=1000 * (seed + 1) + m)
+            for m in range(scfg.n_models)
+        ]
+    return _train_cell(scfg, toy, splits, au, eu, seed,
+                       version=f"s{seed}", train_seed=seed)
+
+
 def _infer_one(
-    scfg: StudyConfig, ckpt: Path, au: str, eu: str, seed: int, splits_to_run: Sequence[str]
+    scfg: StudyConfig, ckpt: Path | list[Path], au: str, eu: str, seed: int,
+    splits_to_run: Sequence[str]
 ):
     from ..infer import InferenceConfig, UncertaintyInference
 
@@ -132,7 +157,8 @@ def _infer_one(
         diffusion_sampler="ddim" if au == "diffusion" else None,
         skip_existing=True,
     )
-    inf = UncertaintyInference([ckpt], icfg)
+    ckpts = ckpt if isinstance(ckpt, list) else [ckpt]
+    inf = UncertaintyInference(ckpts, icfg)
     for split in splits_to_run:
         inf.run_split(split)
     return inf
@@ -148,6 +174,11 @@ def _run_al_arm(scfg: StudyConfig, toy: Path, splits: Path, exp_path: Path, seed
     from ..train import Trainer
 
     au, eu = scfg.al_arm
+    if eu == "ensemble":
+        raise ValueError(
+            "al_arm does not support eu='ensemble' (second-cycle retraining "
+            "is single-member); pick none/dropout/swag for the AL arm"
+        )
     pool_dir = exp_path / "unlabeled"
     # d1: first-cycle test Dice of this method/seed
     d1 = _mean_dice(exp_path / "id")
@@ -693,6 +724,10 @@ def main(argv: Sequence[str] | None = None) -> None:
     ap.add_argument("--ambiguity", type=float, default=0.15)
     ap.add_argument("--num_train", type=int, default=24)
     ap.add_argument("--num_test", type=int, default=16)
+    ap.add_argument("--au_types", nargs="+", default=None,
+                    help="AU axis override (softmax ssn diffusion prob_unet)")
+    ap.add_argument("--eu_methods", nargs="+", default=None,
+                    help="EU axis override (none dropout swag ensemble)")
     ap.add_argument("--quick", action="store_true",
                     help="2 AU x 2 EU miniature (smoke)")
     ap.add_argument("--cpu", action="store_true",
@@ -715,6 +750,10 @@ def main(argv: Sequence[str] | None = None) -> None:
                        seeds=tuple(args.seeds), image_size=args.image_size,
                        ambiguity=args.ambiguity, num_train=args.num_train,
                        num_test=args.num_test, num_ood=args.num_test)
+    if args.au_types:
+        scfg = dataclasses.replace(scfg, au_types=tuple(args.au_types))
+    if args.eu_methods:
+        scfg = dataclasses.replace(scfg, eu_methods=tuple(args.eu_methods))
     if args.quick:
         scfg = dataclasses.replace(
             scfg, au_types=("softmax", "ssn"), eu_methods=("none", "dropout"),

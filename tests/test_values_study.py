@@ -1,8 +1,9 @@
 """Miniature end-to-end ValUES study (tools/values_study.py).
 
-2 AU x 2 EU x 1 seed, 2 epochs on a small toy — pins that the study driver
-runs train -> inference -> EvalMatrix -> AL arm -> report end to end and
-emits the committed-artifact set with finite direction-of-effect numbers.
+2 AU x 3 EU (incl. a 2-member deep ensemble) x 1 seed, 2 epochs on a small
+toy — pins that the study driver runs train -> inference -> EvalMatrix ->
+AL arm -> report end to end and emits the committed-artifact set with
+finite direction-of-effect numbers.
 The full reduced study (4 AU x 3 EU x 2 seeds) is run offline and committed
 under ``studies/values_toy/``.
 """
@@ -20,7 +21,7 @@ def test_miniature_study(tmp_path):
     scfg = StudyConfig(
         workdir=tmp_path / "study",
         au_types=("softmax", "ssn"),
-        eu_methods=("none", "dropout"),
+        eu_methods=("none", "dropout", "ensemble"),
         seeds=(0,),
         epochs=2,
         n_pred=2,
@@ -35,9 +36,16 @@ def test_miniature_study(tmp_path):
     )
     summary = run_values_study(scfg)
 
-    assert summary["matrix"]["versions"] == 4
+    assert summary["matrix"]["versions"] == 6
     # every version preflights as non-missing after the run
     assert all(not s["missing"] for s in summary["preflight"].values())
+
+    # the deep-ensemble cells trained n_models independently-seeded members
+    for au in ("softmax", "ssn"):
+        members = sorted(
+            p.name for p in (tmp_path / "study" / "saves" / f"{au}_ensemble").iterdir()
+        )
+        assert members == ["s0_m0", "s0_m1"]
 
     report = tmp_path / "study" / "report"
     assert (report / "ds_task_table.csv").is_file()
@@ -49,6 +57,7 @@ def test_miniature_study(tmp_path):
     shift = checks["ood_auroc"]["per_shift"]["ood_noise"]
     assert np.isfinite(shift["softmax_entropy_baseline"])
     assert "dropout" in shift["eu_methods"]
+    assert "ensemble" in shift["eu_methods"]
     amb = checks["ambiguity_ncc"]
     assert set(amb["mean_au_ncc_by_au_type"]) == {"softmax", "ssn"}
     al = checks["al_improvement"]
@@ -65,11 +74,12 @@ def test_miniature_study(tmp_path):
 
     table = pd.read_csv(report / "ds_task_table.csv", header=[0, 1], index_col=[0, 1, 2, 3])
     method_cols = {c[1] for c in table.columns}
-    assert {"softmax_none", "softmax_dropout", "ssn_none", "ssn_dropout"} <= method_cols
+    assert {"softmax_none", "softmax_dropout", "softmax_ensemble",
+            "ssn_none", "ssn_dropout", "ssn_ensemble"} <= method_cols
 
     # re-run resumes (cells cached) and reproduces the artifact set quickly
     summary2 = run_values_study(dataclasses.replace(scfg))
-    assert summary2["matrix"]["versions"] == 4
+    assert summary2["matrix"]["versions"] == 6
     assert summary2["wall_seconds"] < summary["wall_seconds"]
 
 
@@ -83,6 +93,18 @@ def test_workdir_parameter_mismatch_raises(tmp_path):
     (work / "study_meta.json").write_text(json.dumps({"epochs": 3}))
     with pytest.raises(ValueError, match="different study parameters"):
         run_values_study(StudyConfig(workdir=work, epochs=6))
+
+
+def test_al_arm_rejects_ensemble(tmp_path):
+    """Second-cycle retraining is single-member; an ensemble AL arm must be
+    rejected with a clear message rather than silently training one member."""
+    import pytest
+
+    from diffuncertainty_tpu.tools.values_study import _run_al_arm
+
+    scfg = StudyConfig(workdir=tmp_path, al_arm=("softmax", "ensemble"))
+    with pytest.raises(ValueError, match="al_arm does not support"):
+        _run_al_arm(scfg, tmp_path, tmp_path, tmp_path, seed=0)
 
 
 def test_interpretation_lines_follow_the_numbers():
