@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import json
 from pathlib import Path
+from typing import Sequence
 
 import numpy as np
 import pandas as pd
@@ -198,6 +199,51 @@ def metric_matrix(
     return pivot
 
 
+def metric_matrix_grid(
+    df: pd.DataFrame,
+    *,
+    cells: Sequence[tuple[str, str]],
+    out_path: str | Path,
+    ncols: int = 3,
+):
+    """Grid of (unc_type x aggregation) heatmaps, one per (task, metric)
+    cell — the reference's ``plot_mm_grid`` composition
+    (``visualization/helpers.py:1382-1421``) rebuilt on ``metric_matrix``'s
+    pivot. Cells with no rows render as an empty axis instead of failing,
+    so a partial results tree still produces the panel."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    nrows = -(-len(cells) // ncols)
+    fig, axes = plt.subplots(nrows, ncols, figsize=(4.2 * ncols, 2.8 * nrows),
+                             squeeze=False)
+    for ax in axes.flat[len(cells):]:
+        ax.axis("off")
+    for (task, metric), ax in zip(cells, axes.flat):
+        try:
+            pivot = metric_matrix(df, task=task, metric=metric)
+        except ValueError:
+            ax.axis("off")
+            ax.set_title(f"{task}: {metric} (no rows)", fontsize=8)
+            continue
+        im = ax.imshow(pivot.values, cmap="viridis")
+        ax.set_xticks(range(pivot.shape[1]), pivot.columns, rotation=30,
+                      ha="right", fontsize=7)
+        ax.set_yticks(range(pivot.shape[0]), pivot.index, fontsize=7)
+        for i in range(pivot.shape[0]):
+            for j in range(pivot.shape[1]):
+                ax.text(j, i, f"{pivot.values[i, j]:.3f}", ha="center",
+                        va="center", color="white", fontsize=7)
+        ax.set_title(f"{task}: {metric}", fontsize=9)
+        fig.colorbar(im, ax=ax, fraction=0.046)
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=120)
+    plt.close(fig)
+    return Path(out_path)
+
+
 def entangle_metric(u_first, u_second, lower_is_better: bool = False):
     """Paper's entanglement score Δ = s·(arctan2(a, b) − π/4)/(π/4) ∈ [-1, 1].
 
@@ -209,6 +255,29 @@ def entangle_metric(u_first, u_second, lower_is_better: bool = False):
     """
     s = -1.0 if lower_is_better else 1.0
     return s * (np.arctan2(u_first, u_second) - np.pi / 4) / (np.pi / 4)
+
+
+def _au_eu_scatter_ax(ax, df: pd.DataFrame, task: str, metric: str,
+                      aggregation: str) -> pd.DataFrame:
+    """Draw one AU-vs-EU scatter on ``ax``; returns the version pivot."""
+    sel = df[(df["task"] == task) & (df["metric"] == metric)
+             & (df["aggregation"].isin([aggregation, "-"]))]
+    pivot = sel.pivot_table(index="version", columns="unc_type",
+                            values="value", aggfunc="mean")
+    if "AU" not in pivot.columns or "EU" not in pivot.columns:
+        raise ValueError("need both AU and EU rows for the scatter")
+    ax.scatter(pivot["AU"], pivot["EU"])
+    for version, row in pivot.iterrows():
+        delta = float(entangle_metric(row["AU"], row["EU"]))
+        ax.annotate(f"{version} (Δ={delta:+.2f})", (row["AU"], row["EU"]),
+                    fontsize=7, xytext=(3, 3), textcoords="offset points")
+    lims = [min(pivot["AU"].min(), pivot["EU"].min()) - 0.02,
+            max(pivot["AU"].max(), pivot["EU"].max()) + 0.02]
+    ax.plot(lims, lims, "k--", alpha=0.4)
+    ax.set_xlabel(f"AU {metric}")
+    ax.set_ylabel(f"EU {metric}")
+    ax.set_title(f"{task} ({aggregation})")
+    return pivot
 
 
 def au_eu_scatter(
@@ -225,24 +294,41 @@ def au_eu_scatter(
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
-    sel = df[(df["task"] == task) & (df["metric"] == metric)
-             & (df["aggregation"].isin([aggregation, "-"]))]
-    pivot = sel.pivot_table(index="version", columns="unc_type",
-                            values="value", aggfunc="mean")
-    if "AU" not in pivot.columns or "EU" not in pivot.columns:
-        raise ValueError("need both AU and EU rows for the scatter")
     fig, ax = plt.subplots(figsize=(5, 5))
-    ax.scatter(pivot["AU"], pivot["EU"])
-    for version, row in pivot.iterrows():
-        delta = float(entangle_metric(row["AU"], row["EU"]))
-        ax.annotate(f"{version} (Δ={delta:+.2f})", (row["AU"], row["EU"]),
-                    fontsize=7, xytext=(3, 3), textcoords="offset points")
-    lims = [min(pivot["AU"].min(), pivot["EU"].min()) - 0.02,
-            max(pivot["AU"].max(), pivot["EU"].max()) + 0.02]
-    ax.plot(lims, lims, "k--", alpha=0.4)
-    ax.set_xlabel(f"AU {metric}")
-    ax.set_ylabel(f"EU {metric}")
-    ax.set_title(f"{task} ({aggregation})")
+    _au_eu_scatter_ax(ax, df, task, metric, aggregation)
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=120)
+    plt.close(fig)
+    return Path(out_path)
+
+
+def scatter_grid(
+    df: pd.DataFrame,
+    *,
+    cells: Sequence[tuple[str, str, str]],
+    out_path: str | Path,
+    ncols: int = 2,
+):
+    """Grid of AU-vs-EU scatters over (task, metric, aggregation) cells —
+    the reference's ``plot_scatter_grid`` composition
+    (``visualization/helpers.py:1826-1915``). Cells whose rows lack an
+    AU or EU series render as an annotated empty axis."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    nrows = -(-len(cells) // ncols)
+    fig, axes = plt.subplots(nrows, ncols, figsize=(5 * ncols, 4.5 * nrows),
+                             squeeze=False)
+    for ax in axes.flat[len(cells):]:
+        ax.axis("off")
+    for (task, metric, aggregation), ax in zip(cells, axes.flat):
+        try:
+            _au_eu_scatter_ax(ax, df, task, metric, aggregation)
+        except ValueError:
+            ax.axis("off")
+            ax.set_title(f"{task}: {metric} (no AU/EU rows)", fontsize=8)
     fig.tight_layout()
     fig.savefig(out_path, dpi=120)
     plt.close(fig)

@@ -235,6 +235,46 @@ def test_metric_matrix_and_scatter(tmp_path):
     assert out.exists()
 
 
+def test_grid_compositions(tmp_path):
+    """metric_matrix_grid / scatter_grid (the reference's plot_mm_grid /
+    plot_scatter_grid compositions) render mixed present/missing cells."""
+    import pandas as pd
+
+    from diffuncertainty_tpu.evaln.visualization import (
+        metric_matrix_grid,
+        scatter_grid,
+    )
+
+    rows = []
+    for version in ("m1", "m2"):
+        for unc in ("TU", "AU", "EU"):
+            for agg in ("image_level", "patch_level"):
+                rows.append(dict(task="ood_detection", metric="auroc",
+                                 unc_type=unc, aggregation=agg, version=version,
+                                 value=0.6 + 0.1 * (unc == "EU"), dataset="-"))
+                rows.append(dict(task="failure_detection", metric="aurc",
+                                 unc_type=unc, aggregation=agg, version=version,
+                                 value=0.2, dataset="-"))
+    df = pd.DataFrame(rows)
+
+    out = metric_matrix_grid(
+        df,
+        cells=[("ood_detection", "auroc"), ("failure_detection", "aurc"),
+               ("calibration", "ace")],  # last cell has no rows -> empty axis
+        out_path=tmp_path / "mm_grid.png",
+    )
+    assert out.exists()
+
+    out = scatter_grid(
+        df,
+        cells=[("ood_detection", "auroc", "image_level"),
+               ("failure_detection", "aurc", "patch_level"),
+               ("calibration", "ace", "image_level")],  # missing -> empty axis
+        out_path=tmp_path / "scatter_grid.png",
+    )
+    assert out.exists()
+
+
 def test_entangle_metric():
     import numpy as np
 
