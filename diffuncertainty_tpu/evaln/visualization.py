@@ -105,6 +105,28 @@ def task_table(
 LOWER_IS_BETTER = {"aurc", "eaurc", "ace", "ece", "eqace", "gace", "gece", "ged", "ged_bma"}
 
 
+def rank_table(table: pd.DataFrame) -> pd.DataFrame:
+    """Per-row method ranks of a ``task_table`` (1 = best), plus a
+    ``mean_rank`` summary row — the reference's rank-aggregated view of the
+    methods x tasks matrix (``visualization/helpers.py:195-203`` ``to_rank``
+    composed over the result table). Rank direction follows
+    ``LOWER_IS_BETTER`` per metric row; ties share the average rank."""
+    means = table["mean"] if "mean" in table.columns.get_level_values(0) else table
+    metric_pos = (
+        list(means.index.names).index("metric")
+        if "metric" in (means.index.names or []) else 1
+    )
+    ranks = pd.DataFrame(index=means.index, columns=means.columns, dtype=float)
+    for idx, row in means.iterrows():
+        metric_name = str(idx[metric_pos]) if isinstance(idx, tuple) else str(idx)
+        ascending = metric_name.lower() in LOWER_IS_BETTER
+        ranks.loc[idx] = row.rank(ascending=ascending, method="average")
+    summary = ranks.mean(axis=0)
+    summary.name = ("mean_rank",) * ranks.index.nlevels if ranks.index.nlevels > 1 \
+        else "mean_rank"
+    return pd.concat([ranks, summary.to_frame().T])
+
+
 def to_latex(table: pd.DataFrame, *, highlight_best: bool = True, precision: int = 4) -> str:
     """Compact LaTeX with the best mean per row bolded (direction-aware)."""
     means = table["mean"] if "mean" in table.columns.get_level_values(0) else table

@@ -239,7 +239,8 @@ def run_values_study(scfg: StudyConfig) -> dict:
     from ..data import MultiRaterDataset
     from ..data.toy import generate_toy_dataset
     from ..evaln import EvalMatrix, expand_versions
-    from ..evaln.visualization import au_eu_scatter, collect_results, task_table, to_latex
+    from ..evaln.visualization import (
+        au_eu_scatter, collect_results, rank_table, task_table, to_latex)
 
     t0 = time.time()
     work = Path(scfg.workdir)
@@ -359,6 +360,9 @@ def run_values_study(scfg: StudyConfig) -> dict:
     table = task_table(df, group_seeds=True)
     table.to_csv(report_dir / "ds_task_table.csv")
     (report_dir / "ds_task_table.tex").write_text(to_latex(table))
+    # rank-aggregated view: per-row method ranks + mean rank across the
+    # whole task matrix (the paper's "which method wins overall" summary)
+    rank_table(table).to_csv(report_dir / "ds_task_ranks.csv")
     scatter_path = None
     try:
         scatter_path = au_eu_scatter(
@@ -396,6 +400,7 @@ def run_values_study(scfg: StudyConfig) -> dict:
         "artifacts": {
             "table_csv": str(report_dir / "ds_task_table.csv"),
             "table_tex": str(report_dir / "ds_task_table.tex"),
+            "rank_csv": str(report_dir / "ds_task_ranks.csv"),
             "scatter": str(scatter_path) if scatter_path else None,
             "figures": figures,
         },
@@ -686,7 +691,8 @@ def _write_report_md(
         f"{scfg.num_test} test images).",
         "",
         "Artifacts: `ds_task_table.csv` / `.tex` (seed-grouped downstream-task "
-        "table), `au_eu_scatter.png` (AU-vs-EU OoD AUROC), `summary.json`.",
+        "table), `ds_task_ranks.csv` (per-row method ranks + mean rank), "
+        "`au_eu_scatter.png` (AU-vs-EU OoD AUROC), `summary.json`.",
         "",
         "## Direction-of-effect checks",
         "",

@@ -275,6 +275,31 @@ def test_grid_compositions(tmp_path):
     assert out.exists()
 
 
+def test_rank_table_direction_aware():
+    """rank_table ranks higher-is-better and lower-is-better rows in the
+    right direction (1 = best) and appends a mean_rank summary row."""
+    import pandas as pd
+
+    from diffuncertainty_tpu.evaln.visualization import rank_table, task_table
+
+    rows = []
+    for version, auroc, aurc in (("good_s0", 0.9, 0.1), ("bad_s0", 0.6, 0.4)):
+        rows.append(dict(task="ood_detection", metric="auroc", unc_type="EU",
+                         aggregation="image_level", version=version,
+                         value=auroc, dataset="-"))
+        rows.append(dict(task="failure_detection", metric="aurc", unc_type="TU",
+                         aggregation="image_level", version=version,
+                         value=aurc, dataset="-"))
+    table = task_table(pd.DataFrame(rows), group_seeds=True)
+    ranks = rank_table(table)
+
+    body = ranks.iloc[:-1]
+    # 'good' wins both rows: higher auroc AND lower aurc both rank 1
+    assert (body["good"] == 1.0).all() and (body["bad"] == 2.0).all()
+    summary = ranks.iloc[-1]
+    assert summary["good"] == 1.0 and summary["bad"] == 2.0
+
+
 def test_entangle_metric():
     import numpy as np
 
