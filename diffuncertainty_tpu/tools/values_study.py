@@ -431,6 +431,7 @@ def _report_figures(
     from ..evaln.visualization import (
         al_improvement_plot,
         barplot,
+        metric_matrix_grid,
         reliability_diagram,
         risk_coverage_plot,
         uncertainty_triptych_panel,
@@ -540,6 +541,19 @@ def _report_figures(
         )
 
     _try("triptych", _triptych)
+
+    # one-figure task overview: (unc_type x aggregation) heatmap per
+    # downstream-task metric, mean over every version in the matrix
+    def _task_overview():
+        return metric_matrix_grid(
+            df,
+            cells=[("ood_detection", "auroc"), ("failure_detection", "aurc"),
+                   ("calibration", "ace"), ("ambiguity_modeling", "ncc")],
+            out_path=report_dir / "task_matrix_overview.png",
+            ncols=2,
+        )
+
+    _try("task_overview", _task_overview)
     return figures
 
 

@@ -66,8 +66,9 @@ def test_miniature_study(tmp_path):
     # the diagnostic figure set is emitted next to the table
     figures = summary["artifacts"]["figures"]
     for name in ("risk_coverage", "reliability", "ood_auroc_ood_noise",
-                 "al_improvement", "triptych"):
+                 "al_improvement", "triptych", "task_overview"):
         assert name in figures and Path(figures[name]).is_file(), name
+    assert (report / "ds_task_ranks.csv").is_file()
 
     # the table carries seed-grouped method columns
     import pandas as pd
