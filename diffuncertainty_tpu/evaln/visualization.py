@@ -122,8 +122,8 @@ def rank_table(table: pd.DataFrame) -> pd.DataFrame:
         ascending = metric_name.lower() in LOWER_IS_BETTER
         ranks.loc[idx] = row.rank(ascending=ascending, method="average")
     summary = ranks.mean(axis=0)
-    summary.name = ("mean_rank",) * ranks.index.nlevels if ranks.index.nlevels > 1 \
-        else "mean_rank"
+    summary.name = ("mean_rank",) + ("-",) * (ranks.index.nlevels - 1) \
+        if ranks.index.nlevels > 1 else "mean_rank"
     return pd.concat([ranks, summary.to_frame().T])
 
 
