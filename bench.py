@@ -188,7 +188,42 @@ def quality_eval(built, sampler, params, tag, data_cfg):
         built, sampler, params, data_cfg, batch=BATCH, hw=HW, log=_log, tag=tag)
 
 
+def _probe_devices(timeout_s=300):
+    """Fail fast when the TPU tunnel is dead.
+
+    The tunneled axon backend can hang *indefinitely* inside device
+    discovery (observed: jax.devices() blocking >20 min on a hung tunnel).
+    Probe discovery in a child process first so an unreachable chip yields a
+    diagnostic JSON headline + exit 1 instead of an eternal hang. Costs one
+    extra device discovery (~seconds) when the chip is healthy.
+    """
+    import subprocess
+
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", "import jax; print(len(jax.devices()))"],
+            cwd=str(REPO), timeout=timeout_s, capture_output=True, text=True,
+        )
+        if proc.returncode == 0:
+            _log(f"device probe OK ({proc.stdout.strip()} device(s))")
+            return
+        err = (proc.stderr or "").strip()[-400:] or f"rc={proc.returncode}"
+    except subprocess.TimeoutExpired:
+        err = (f"jax.devices() did not return within {timeout_s}s — "
+               "TPU tunnel unreachable/hung; benchmark needs the real chip")
+    print(json.dumps({
+        "metric": "images/sec/chip, 16-sample ensemble+TTA uncertainty inference, LIDC-2D 128px",
+        "value": None,
+        "unit": "images/sec/chip",
+        "vs_baseline": None,
+        "error": err,
+    }))
+    sys.exit(1)
+
+
 def main():
+    if not _SMOKE:  # smoke runs are CPU-feasible and don't need the chip
+        _probe_devices()
     rng = jax.random.key(0)
     images = jax.random.uniform(rng, (BATCH, HW, HW, 3), jnp.float32)
 
