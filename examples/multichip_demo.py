@@ -27,14 +27,14 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
 import jax
 
-if len(jax.devices()) < 2:
-    # single-chip (or CPU) session: fall back to the virtual 8-device CPU
-    # mesh. The container may have pre-initialized a TPU backend, so clear it
-    # after switching platforms (same dance as __graft_entry__).
+if os.environ.get("DU_DEMO_REAL_CHIPS") == "1":
+    # opt-in: use whatever topology jax discovers (a real multi-chip pod)
+    pass
+else:
+    # default: the virtual 8-device CPU mesh. Switch platforms BEFORE any
+    # backend touch — probing jax.devices() first would dial the (possibly
+    # unreachable) TPU tunnel, which can hang indefinitely.
     jax.config.update("jax_platforms", "cpu")
-    import jax.extend.backend as _xb
-
-    _xb.clear_backends()
 
 import numpy as np
 import jax.numpy as jnp
