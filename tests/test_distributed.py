@@ -22,6 +22,9 @@ from diffuncertainty_tpu.parallel.distributed import (
     process_info,
 )
 from diffuncertainty_tpu.parallel.mesh import make_mesh
+import pytest
+
+pytestmark = pytest.mark.slow
 
 
 class _ArrayDataset:

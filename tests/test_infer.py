@@ -5,6 +5,8 @@ import json
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow
 import jax
 from PIL import Image
 
@@ -367,3 +369,22 @@ def test_results_writer_propagates_queued_write_failure(tmp_path, monkeypatch):
             for j in range(32):  # push far past max_pending, then join
                 w.save_uncertainty(f"img{j:02d}", heat)
     assert w._pool is None  # error path shut the pool down
+
+def test_member_chunk_bounds_fused_program(toy_dir, tmp_path):
+    """InferenceConfig.member_chunk=1 must reach the sampler spec and switch
+    dropout-member execution from the fully-fused flat-fold program to a
+    member-scan, while producing the same results tree. Regression for the
+    powered-study OOM: 4 members x 8 pred x batch 16 through the 1024-token
+    bottleneck attention is 8 GB fp32 fused — one v5e cannot hold it."""
+    trainer = _train(toy_dir, tmp_path, eu="dropout")
+    ckpt = trainer.workdir / "checkpoints" / "last"
+    icfg = InferenceConfig(n_pred=2, n_models=3, batch_size=4,
+                           save_dir=str(tmp_path / "results_chunked"),
+                           member_chunk=1)
+    inf = UncertaintyInference([ckpt], icfg)
+    assert inf.spec.member_chunk == 1
+    summary = inf.run_split("id")
+    assert summary["n_images"] == 6
+    metrics = json.loads((inf.split_dir("id") / "metrics.json").read_text())
+    for rec in metrics.values():
+        assert 0.0 <= rec["metrics"]["dice"] <= 1.0

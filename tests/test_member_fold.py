@@ -10,6 +10,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from diffuncertainty_tpu.core.config import load_config
 from diffuncertainty_tpu.models.factory import build_model
 from diffuncertainty_tpu.ops.member_fold import member_conv2d, member_dense

@@ -10,6 +10,8 @@ with the trained asset, ``full_frame_multiclass`` family).
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from diffuncertainty_tpu.core.config import load_config
 from diffuncertainty_tpu.data import cityscapes_labels as cs
 from diffuncertainty_tpu.data.cityscapes import CityscapesDataset

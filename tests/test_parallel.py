@@ -34,9 +34,12 @@ SMALL_NET = [
     "network.attention_resolutions=[-1]",
 ]
 
-pytestmark = pytest.mark.skipif(
-    len(jax.devices()) < 8, reason="needs the virtual 8-device mesh"
-)
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(
+        len(jax.devices()) < 8, reason="needs the virtual 8-device mesh"
+    ),
+]
 
 
 def _cfg(tmp_path, mesh_shape):

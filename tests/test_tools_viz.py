@@ -4,6 +4,8 @@ import json
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow
 import jax
 import jax.numpy as jnp
 from PIL import Image

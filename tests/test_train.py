@@ -81,6 +81,7 @@ def test_ema_tracks_params(toy_dir, tmp_path):
     assert 0 < np.abs(p - e).max() < 1.0
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("model", ["ssn", "diffusion", "prob_unet"])
 def test_generative_losses_train_one_epoch(toy_dir, tmp_path, model):
     cfg = _cfg(tmp_path, model=model, extra=["trainer.max_epochs=1"])
@@ -137,6 +138,7 @@ def test_scheduled_epochs_exponential():
     assert eps == [10, 20, 40, 80]
 
 
+@pytest.mark.slow
 def test_bf16_and_remat_training(toy_dir, tmp_path):
     cfg = _cfg(tmp_path, extra=["trainer.precision=bf16", "trainer.remat=true",
                                 "trainer.max_epochs=1"])

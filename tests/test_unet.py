@@ -126,6 +126,7 @@ def test_no_dropout_needs_no_rng():
     model.apply(params, x)  # must not require a dropout rng
 
 
+@pytest.mark.slow
 def test_unet16_config_param_count_scale():
     """unet16-like config (configs/network/unet16.yaml) builds and runs @64px."""
     model = DiffUnet(

@@ -13,8 +13,11 @@ import json
 from pathlib import Path
 
 import numpy as np
+import pytest
 
 from diffuncertainty_tpu.tools.values_study import StudyConfig, run_values_study
+
+pytestmark = pytest.mark.slow
 
 
 def test_miniature_study(tmp_path):
