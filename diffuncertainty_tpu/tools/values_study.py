@@ -106,13 +106,27 @@ def _train_cell(scfg: StudyConfig, toy: Path, splits: Path, au: str, eu: str,
     from ..train import Trainer
 
     # resumable matrix: a finished cell is skipped on re-runs (the study-level
-    # analog of the framework's skip_existing idempotency)
+    # analog of the framework's skip_existing idempotency). "Finished" means
+    # the last checkpoint reached the final epoch — a run killed right after
+    # an early epoch's "last" save leaves a valid-looking checkpoint that
+    # once slipped an epoch-0 cell into a 40-epoch matrix (the version
+    # uniformity assert caught it only after the whole matrix ran).
     done = (
         scfg.workdir / "saves" / _method_name(au, eu) / version
         / "checkpoints" / "last"
     )
     if done.exists():
-        return done
+        try:
+            epoch = int(json.loads((done / "meta.json").read_text()).get("epoch", -1))
+        except Exception:
+            epoch = -1
+        if epoch >= scfg.epochs - 1:
+            return done
+        import shutil
+
+        print(f"[study] {_method_name(au, eu)}/{version}: stale checkpoint "
+              f"(epoch {epoch} < {scfg.epochs - 1}) — retraining")
+        shutil.rmtree(done.parent.parent, ignore_errors=True)
     cfg = _load_run_config(scfg, toy, au, eu, seed, version=version,
                            train_seed=train_seed)
     trainer = Trainer(cfg)

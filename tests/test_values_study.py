@@ -131,3 +131,36 @@ def test_interpretation_lines_follow_the_numbers():
     al = {"al_improvement_uncertainty": 0.3, "al_improvement_worst": -0.2}
     text = "\n".join(_interpretation_lines(checks, al))
     assert "NO shift" in text and "NEGATIVE" in text and "non-flat" in text
+
+def test_stale_checkpoint_is_retrained(tmp_path):
+    """A cell whose 'last' checkpoint stopped before the final epoch (e.g. a
+    killed run that had just saved epoch 0) must be retrained on resume, not
+    skipped — an epoch-0 cell once slipped into a 40-epoch matrix and only
+    the end-of-matrix epoch-uniformity assert caught it."""
+    import json as _json
+
+    from diffuncertainty_tpu.data.toy import generate_toy_dataset
+    from diffuncertainty_tpu.tools.values_study import _train_cell
+
+    scfg = StudyConfig(workdir=tmp_path / "study", epochs=2, num_train=8,
+                       num_val=4, batch_size=4)
+    toy = generate_toy_dataset(
+        tmp_path / "toy", num_train=8, num_val=4, num_test=4, num_ood=4,
+        size=32, seed=0,
+    )
+    splits = toy / "splits" / "default" / "firstCycle" / "splits.pkl"
+    # plant a stale epoch-0 "last" checkpoint
+    stale = scfg.workdir / "saves" / "softmax_none" / "s0" / "checkpoints" / "last"
+    stale.mkdir(parents=True)
+    (stale / "meta.json").write_text(_json.dumps({"epoch": 0, "kind": "full"}))
+    (stale / "config.json").write_text("{}")
+
+    ckpt = _train_cell(scfg, toy, splits, "softmax", "none", 0, "s0", 0)
+    meta = _json.loads((ckpt / "meta.json").read_text())
+    assert int(meta["epoch"]) == scfg.epochs - 1  # retrained to completion
+
+    # a genuinely finished cell is still skipped (resume semantics intact)
+    import time
+    t0 = time.time()
+    again = _train_cell(scfg, toy, splits, "softmax", "none", 0, "s0", 0)
+    assert again == ckpt and time.time() - t0 < 5.0
