@@ -688,6 +688,10 @@ def _direction_checks(df, scfg: StudyConfig, al_results) -> dict:
         "eu_beats_entropy_on_some_shift_by_margin": beats_somewhere_by_margin,
         "margin_convention": "decided when |mean margin| > max of the two "
                              "series' inter-seed spreads (max-min over seeds)",
+        "eu_pooling": "each EU method's score pools (means) its cells across "
+                      "all AU types; per-(AU x EU)-pair values are in "
+                      "ds_task_table.csv — e.g. softmax_dropout alone can "
+                      "score far above the pooled dropout mean",
     }
 
     # (b) ambiguity: AU heatmaps correlate with rater-variance GT maps;
