@@ -244,13 +244,27 @@ def measure_mfu(fused_k, args, per_batch_s):
     number that lets a reader check "fast" against the roofline without
     trusting the vs_baseline ratio chain.
     """
-    try:
-        ca = fused_k.lower(*args, jax.random.key(0), 1).cost_analysis()
+    def _flops_from(ca):
         if isinstance(ca, (list, tuple)):
-            ca = ca[0]
-        flops = float(ca["flops"])
-    except Exception as exc:  # backend without cost analysis
+            ca = ca[0] if ca else None
+        if not ca or "flops" not in ca:
+            return None
+        return float(ca["flops"])
+
+    flops = None
+    try:
+        lowered = fused_k.lower(*args, jax.random.key(0), 1)
+        flops = _flops_from(lowered.cost_analysis())
+        if flops is None:
+            # the axon backend returns None for lowered cost analysis; the
+            # COMPILED executable's analysis works (and the K=1 compile is
+            # already cached by the measurement that just ran)
+            flops = _flops_from(lowered.compile().cost_analysis())
+    except Exception as exc:  # backend without any cost analysis
         _log(f"mfu: cost analysis unavailable ({exc})")
+        return None
+    if flops is None:
+        _log("mfu: cost analysis returned no FLOP count")
         return None
     achieved = flops / per_batch_s
     out = {
